@@ -1,0 +1,34 @@
+"""diffdope_tpu — a TPU-native differentiable 6-DoF pose refinement framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of NVlabs/diff-dope:
+given an RGB(+depth+mask) image, a textured 3D mesh, and an initial pose
+guess, refine a batch of pose hypotheses by gradient descent through a
+differentiable rasterizer.
+
+Design (TPU-first, not a port):
+  * the whole optimization loop is one ``jit(lax.scan)`` — zero host round
+    trips per step (the reference crosses Python<->CUDA 61 times,
+    reference diffdope/diffdope.py:1656-1714);
+  * rasterization = a Pallas tile kernel for the discrete triangle-id search
+    + a differentiable pure-jnp re-evaluation, so XLA autodiff provides exact
+    geometry gradients with no hand-written CUDA backward;
+  * the hypothesis batch is a sharded axis over a ``jax.sharding.Mesh``
+    (multi-chip via ICI) instead of hard-coded ``.cuda()`` placement.
+"""
+
+from diffdope_tpu.config import ConfigNode, load_config
+from diffdope_tpu.geometry import (
+    matrix33_from_quat,
+    matrix44_from_quat_trans,
+    opencv_to_opengl,
+    opengl_to_opencv,
+    projection_from_intrinsics,
+    quat_from_matrix33,
+    quat_multiply,
+    quat_normalize,
+    quat_rotate,
+    xfm_points,
+    xfm_vectors,
+)
+
+__version__ = "0.1.0"

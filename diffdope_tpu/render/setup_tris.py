@@ -1,0 +1,204 @@
+"""Triangle setup and screen-tile binning (pure jnp, differentiable).
+
+Homogeneous rasterization (Olano & Greer): for a triangle with clip-space
+vertices p_k = (x_k, y_k, z_k, w_k) define a_k = (x_k, y_k, w_k) and the
+barycentric coefficient vectors
+
+    c_0 = a_1 x a_2,   c_1 = a_2 x a_0,   c_2 = a_0 x a_1
+
+so that chat_k(X, Y) = c_k . (X, Y, 1) evaluated at NDC pixel position
+(X, Y) gives unnormalized perspective-correct barycentrics:
+
+    alpha_k = chat_k / sum_j chat_j          (attribute weights)
+    z/w     = (sum_k z_k c_k) . (X,Y,1) / det,   det = a_0 . (a_1 x a_2)
+
+Coverage is "all chat_k of equal sign" (both windings accepted, like
+nvdiffrast with culling disabled) and det == 0 rejects degenerates — which
+also makes the zero-index padding triangles from mesh.py free.
+
+Everything here is differentiable jnp; the Pallas id-search kernel consumes a
+``stop_gradient`` copy of the same coefficients, and the differentiable
+re-evaluation in rasterize.py reuses them with gradients intact — that split
+is what replaces nvdiffrast's hand-written CUDA backward.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+# layout of a packed setup row (padded to 16 lanes for the kernel):
+#   [0:3]  c0 (coeffs of X, Y, 1)
+#   [3:6]  c1
+#   [6:9]  c2
+#   [9:12] zc = z0*c0 + z1*c1 + z2*c2
+#   [12]   det
+#   [13:16] padding
+SETUP_WIDTH = 16
+
+
+class TriangleSetup(NamedTuple):
+    """Per-triangle rasterization coefficients.
+
+    coef: (B, T, 16) float32 packed rows (layout above).
+    """
+
+    coef: Array
+
+    @property
+    def c0(self) -> Array:
+        return self.coef[..., 0:3]
+
+    @property
+    def c1(self) -> Array:
+        return self.coef[..., 3:6]
+
+    @property
+    def c2(self) -> Array:
+        return self.coef[..., 6:9]
+
+    @property
+    def zc(self) -> Array:
+        return self.coef[..., 9:12]
+
+    @property
+    def det(self) -> Array:
+        return self.coef[..., 12]
+
+
+def triangle_setup(pos_clip: Array, tri: Array) -> TriangleSetup:
+    """Compute packed per-triangle coefficients.
+
+    Args:
+        pos_clip: (B, N, 4) float32 clip-space vertex positions.
+        tri: (T, 3) int32 triangle vertex indices.
+
+    Returns:
+        TriangleSetup with coef (B, T, 16).
+    """
+    v = pos_clip[:, tri]  # (B, T, 3, 4)
+    a = v[..., jnp.array([0, 1, 3])]  # (B, T, 3, 3): (x, y, w) per corner
+    z = v[..., 2]  # (B, T, 3)
+
+    a0, a1, a2 = a[..., 0, :], a[..., 1, :], a[..., 2, :]
+    c0 = jnp.cross(a1, a2)
+    c1 = jnp.cross(a2, a0)
+    c2 = jnp.cross(a0, a1)
+    det = jnp.sum(c0 * a0, axis=-1)  # (B, T)
+    zc = z[..., 0:1] * c0 + z[..., 1:2] * c1 + z[..., 2:3] * c2
+
+    pad = jnp.zeros(det.shape + (3,), det.dtype)
+    coef = jnp.concatenate([c0, c1, c2, zc, det[..., None], pad], axis=-1)
+    return TriangleSetup(coef=coef)
+
+
+def pixel_ndc(resolution: Tuple[int, int], dtype=jnp.float32) -> Tuple[Array, Array]:
+    """NDC coordinates of pixel centers.
+
+    Returns (X, Y), each (H, W): X = (2j+1)/W - 1, Y = (2i+1)/H - 1.
+    Row 0 is NDC bottom (y = -1 side) — consistent with images being
+    vertically flipped at load (reference diffdope.py:1131-1132).
+    """
+    h, w = resolution
+    xs = (2.0 * jnp.arange(w, dtype=dtype) + 1.0) / w - 1.0
+    ys = (2.0 * jnp.arange(h, dtype=dtype) + 1.0) / h - 1.0
+    return jnp.broadcast_to(xs[None, :], (h, w)), jnp.broadcast_to(ys[:, None], (h, w))
+
+
+def bin_triangles(
+    pos_clip: Array,
+    tri: Array,
+    det: Array,
+    resolution: Tuple[int, int],
+    tile_hw: Tuple[int, int],
+    max_tris_per_tile: int,
+) -> Tuple[Array, Array, Array]:
+    """Conservative screen-tile binning, shared across the hypothesis batch.
+
+    Pose hypotheses are perturbations of one pose, so a single binning that
+    covers the *union* of every hypothesis's triangle bounding boxes is both
+    correct (the kernel re-tests coverage exactly) and much cheaper than
+    per-hypothesis binning: one O(T x tiles) pass instead of B of them, and
+    one shared index list so the per-tile setup gather broadcasts over B.
+
+    Args:
+        pos_clip: (B, N, 4) clip positions (only used for bboxes; no grads).
+        tri: (T, 3) int32.
+        det: (B, T) triangle determinants (0 = degenerate).
+        resolution: (H, W) in pixels.
+        tile_hw: (th, tw) tile size in pixels.
+        max_tris_per_tile: K — lists are truncated to this many triangles.
+
+    Returns:
+        idx: (num_tiles, K) int32 triangle indices (row-major tile order),
+             padded with T (an out-of-range sentinel).
+        counts: (num_tiles,) int32 number of valid entries per tile.
+        overflow: () int32 total number of dropped (tile, tri) pairs.
+    """
+    h, w = resolution
+    th, tw = tile_hw
+    nty = -(-h // th)
+    ntx = -(-w // tw)
+
+    v = jax.lax.stop_gradient(pos_clip)[:, tri]  # (B, T, 3, 4)
+    x, y, wc = v[..., 0], v[..., 1], v[..., 3]
+    eps = 1e-9
+    safe_w = jnp.where(jnp.abs(wc) > eps, wc, eps)
+    sx = x / safe_w  # (B, T, 3) NDC
+    sy = y / safe_w
+
+    # A vertex behind the camera (w <= 0) invalidates the NDC bbox; such
+    # triangles are conservatively routed to every tile.
+    behind = jnp.any(wc <= eps, axis=-1)  # (B, T)
+    valid = jnp.any(det != 0.0, axis=0) if det.ndim == 2 else det != 0.0  # (T,)
+    if det.ndim == 2:
+        behind = jnp.any(behind, axis=0)
+    else:
+        pass
+
+    # pixel-space bbox, union over batch
+    px = (sx + 1.0) * (w / 2.0) - 0.5
+    py = (sy + 1.0) * (h / 2.0) - 0.5
+    px_min = jnp.min(jnp.min(px, axis=-1), axis=0)  # (T,)
+    px_max = jnp.max(jnp.max(px, axis=-1), axis=0)
+    py_min = jnp.min(jnp.min(py, axis=-1), axis=0)
+    py_max = jnp.max(jnp.max(py, axis=-1), axis=0)
+
+    tx_min = jnp.clip(jnp.floor(px_min / tw), 0, ntx - 1).astype(jnp.int32)
+    tx_max = jnp.clip(jnp.floor(px_max / tw), 0, ntx - 1).astype(jnp.int32)
+    ty_min = jnp.clip(jnp.floor(py_min / th), 0, nty - 1).astype(jnp.int32)
+    ty_max = jnp.clip(jnp.floor(py_max / th), 0, nty - 1).astype(jnp.int32)
+
+    # off-screen rejection (bbox entirely outside)
+    onscreen = (px_max >= 0) & (px_min <= w - 1) & (py_max >= 0) & (py_min <= h - 1)
+
+    tx_min = jnp.where(behind, 0, tx_min)
+    tx_max = jnp.where(behind, ntx - 1, tx_max)
+    ty_min = jnp.where(behind, 0, ty_min)
+    ty_max = jnp.where(behind, nty - 1, ty_max)
+    keep = valid & (onscreen | behind)
+
+    t_count = tri.shape[0]
+    num_tiles = nty * ntx
+    tiles_y = jnp.arange(nty, dtype=jnp.int32)
+    tiles_x = jnp.arange(ntx, dtype=jnp.int32)
+    # overlap masks (nty, T) and (ntx, T)
+    oy = (tiles_y[:, None] >= ty_min[None, :]) & (tiles_y[:, None] <= ty_max[None, :])
+    ox = (tiles_x[:, None] >= tx_min[None, :]) & (tiles_x[:, None] <= tx_max[None, :])
+    mask = (oy[:, None, :] & ox[None, :, :] & keep[None, None, :]).reshape(num_tiles, t_count)
+
+    # first-K compaction by ascending triangle index: sentinel-sort
+    sentinel = jnp.int32(t_count)
+    vals = jnp.where(mask, jnp.arange(t_count, dtype=jnp.int32)[None, :], sentinel)
+    k = min(max_tris_per_tile, t_count)
+    # top_k on negated values selects the K smallest indices
+    neg_topk, _ = jax.lax.top_k(-vals, k)
+    idx = -neg_topk  # (num_tiles, K) ascending? top_k returns sorted desc -> idx ascending
+    counts_full = jnp.sum(mask, axis=-1).astype(jnp.int32)
+    counts = jnp.minimum(counts_full, k)
+    overflow = jnp.sum(jnp.maximum(counts_full - k, 0))
+    return idx, counts, overflow
