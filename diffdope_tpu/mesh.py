@@ -285,6 +285,31 @@ def load_obj(path) -> Dict[str, np.ndarray]:
 # Mesh container
 # ---------------------------------------------------------------------------
 
+def build_edge_adjacency(faces: np.ndarray) -> np.ndarray:
+    """Per-edge neighbor triangle map for silhouette classification.
+
+    Returns (T, 3) int32: entry [t, k] is the index of the triangle sharing
+    edge (faces[t,k], faces[t,(k+1)%3]) with triangle t, or -1 for boundary
+    (or non-manifold) edges.  Consumed by render.antialias to restrict edge
+    blending to true silhouettes (boundary edges and front/back transitions)
+    — the role of nvdiffrast's topology hash.
+    """
+    t = len(faces)
+    adj = np.full((t, 3), -1, dtype=np.int32)
+    edge_map: dict = {}
+    for ti in range(t):
+        f = faces[ti]
+        for k in range(3):
+            key = (min(f[k], f[(k + 1) % 3]), max(f[k], f[(k + 1) % 3]))
+            edge_map.setdefault(key, []).append((ti, k))
+    for users in edge_map.values():
+        if len(users) == 2:
+            (t0, k0), (t1, k1) = users
+            adj[t0, k0] = t1
+            adj[t1, k1] = t0
+    return adj
+
+
 def _compute_vertex_normals(pos: np.ndarray, faces: np.ndarray) -> np.ndarray:
     """Area-weighted vertex normals (trimesh fallback equivalent)."""
     fn = np.cross(
@@ -323,6 +348,7 @@ class Mesh:
     bounding_volume: Optional[np.ndarray] = None
     dimensions: Optional[list] = None
     center_point: Optional[list] = None
+    edge_adj: Optional[np.ndarray] = None  # (T,3) silhouette adjacency
 
     @property
     def has_textured_map(self) -> bool:
@@ -404,10 +430,13 @@ def load_mesh(
     n_pad = pad_to_multiple(max(n, 1), vertex_pad)
     t_pad = pad_to_multiple(max(t, 1), triangle_pad)
 
-    def pad_rows(a, total):
+    def pad_rows(a, total, fill=0):
         if a is None:
             return None
-        return np.concatenate([a, np.zeros((total - len(a),) + a.shape[1:], a.dtype)], axis=0)
+        pad = np.full((total - len(a),) + a.shape[1:], fill, a.dtype)
+        return np.concatenate([a, pad], axis=0)
+
+    adj = build_edge_adjacency(faces)
 
     mesh = Mesh(
         pos=pad_rows(pos, n_pad),
@@ -423,6 +452,7 @@ def load_mesh(
         bounding_volume=bv,
         dimensions=dims,
         center_point=center,
+        edge_adj=pad_rows(adj, t_pad, fill=-1),
     )
     log.info(
         "loaded mesh %s: %d verts (pad %d), %d tris (pad %d), textured=%s",

@@ -1,0 +1,327 @@
+"""Differentiable rasterization: nvdiffrast `rasterize` contract, TPU-native.
+
+Contract (SURVEY.md section 2.3, call site reference diffdope/diffdope.py:198-200):
+clip-space positions (B,N,4) + triangles (T,3) int32 -> ``rast`` (B,H,W,4) =
+(u, v, z/w, float(triangle_id+1); all-zero background) and ``rast_db``
+(B,H,W,4) = (du/dx, du/dy, dv/dx, dv/dy) image-space barycentric derivatives.
+Barycentric convention matches nvdiffrast: attribute = a0*(1-u-v) + a1*u +
+a2*v (u weights vertex 1, v weights vertex 2).
+
+Architecture (TPU-first — this is where the design departs from a CUDA port):
+
+  phase A  triangle-id search  : for every pixel find the nearest covering
+           triangle.  Discrete, non-differentiable.  Implemented as a Pallas
+           tile kernel (triangles binned to VPU-shaped screen tiles, z-test
+           in VMEM, zero HBM traffic for intermediates) with a pure-jnp twin
+           (`raster_ids_reference`) used for tests and tiny scenes.
+  phase B  differentiable shade: re-evaluate barycentrics/depth *from the
+           selected ids* with plain jnp gathers + arithmetic
+           (`rast_from_ids`).  XLA autodiff of this recomputation yields
+           exactly the analytic position gradients that nvdiffrast implements
+           as hand-written CUDA backward kernels.
+
+Gradients therefore flow to `pos_clip` through the (u, v, z/w) channels;
+coverage (which pixel belongs to which triangle) is non-differentiable, as in
+nvdiffrast — the `antialias` op supplies coverage gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from diffdope_tpu.render.setup_tris import (
+    SETUP_WIDTH,
+    TriangleSetup,
+    bin_triangles,
+    pixel_ndc,
+    triangle_setup,
+)
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Phase A — reference implementation (pure jnp, scan over triangle chunks)
+# ---------------------------------------------------------------------------
+
+def raster_ids_reference(
+    coef: Array,
+    resolution: Tuple[int, int],
+    chunk: int = 64,
+) -> Array:
+    """Brute-force triangle-id search: every triangle vs every pixel.
+
+    Args:
+        coef: (B, T, 16) packed triangle setup (see setup_tris.py), no grads.
+        resolution: (H, W).
+        chunk: triangles per scan step (bounds peak memory: B*chunk*H*W).
+
+    Returns:
+        ids: (B, H, W) int32; 0 = background, t+1 = triangle t.
+    """
+    coef = jax.lax.stop_gradient(coef)
+    b, t, _ = coef.shape
+    h, w = resolution
+    x, y = pixel_ndc(resolution, coef.dtype)
+
+    t_pad = ((t + chunk - 1) // chunk) * chunk
+    coef = jnp.pad(coef, ((0, 0), (0, t_pad - t), (0, 0)))
+    chunks = coef.reshape(b, t_pad // chunk, chunk, SETUP_WIDTH).transpose(1, 0, 2, 3)
+    starts = jnp.arange(t_pad // chunk, dtype=jnp.int32) * chunk
+
+    def body(carry, xs):
+        zbest, ibest = carry
+        c, start = xs  # (B, C, 16), ()
+        e0 = c[..., 0, None, None] * x + c[..., 1, None, None] * y + c[..., 2, None, None]
+        e1 = c[..., 3, None, None] * x + c[..., 4, None, None] * y + c[..., 5, None, None]
+        e2 = c[..., 6, None, None] * x + c[..., 7, None, None] * y + c[..., 8, None, None]
+        zlin = c[..., 9, None, None] * x + c[..., 10, None, None] * y + c[..., 11, None, None]
+        det = c[..., 12, None, None]
+        sgn = jnp.sign(det)
+        covered = (e0 * sgn >= 0) & (e1 * sgn >= 0) & (e2 * sgn >= 0) & (det != 0)
+        z = zlin / jnp.where(det != 0, det, 1.0)
+        ok = covered & (z >= -1.0) & (z <= 1.0)  # clip to the view frustum depth range
+        # nearest-wins depth test over the chunk then against the carry
+        z_masked = jnp.where(ok, z, jnp.inf)
+        z_chunk = jnp.min(z_masked, axis=1)  # (B, H, W)
+        k_chunk = jnp.argmin(z_masked, axis=1).astype(jnp.int32)
+        better = z_chunk < zbest
+        zbest = jnp.where(better, z_chunk, zbest)
+        ibest = jnp.where(better, start + k_chunk + 1, ibest)
+        return (zbest, ibest), None
+
+    zinit = jnp.full((b, h, w), jnp.inf, coef.dtype)
+    iinit = jnp.zeros((b, h, w), jnp.int32)
+    (_, ids), _ = jax.lax.scan(body, (zinit, iinit), (chunks, starts))
+    return ids
+
+
+# ---------------------------------------------------------------------------
+# Phase A — Pallas tile kernel
+# ---------------------------------------------------------------------------
+
+def _raster_tile_kernel(counts_ref, coef_ref, tidx_ref, out_ref, *, th, tw, ntx, h, w):
+    """One screen tile: z-tested triangle-id search over the tile's bin list.
+
+    counts_ref: SMEM (num_tiles,) int32 — triangles in this tile's bin.
+    coef_ref:   VMEM (1, 1, K, 16) f32 — gathered setup rows for this tile.
+    tidx_ref:   VMEM (1, K) int32 — global triangle index per row.
+    out_ref:    VMEM (1, th, tw) int32 — winning triangle id + 1 (0 = bg).
+    """
+    t = pl.program_id(1)
+    count = counts_ref[t]
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0) + (t // ntx) * th
+    cols = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1) + (t % ntx) * tw
+    x = (2.0 * cols.astype(jnp.float32) + 1.0) / w - 1.0
+    y = (2.0 * rows.astype(jnp.float32) + 1.0) / h - 1.0
+
+    def body(k, carry):
+        zbest, ibest = carry
+        c = coef_ref[0, 0, k, :]  # (16,) f32
+        e0 = c[0] * x + c[1] * y + c[2]
+        e1 = c[3] * x + c[4] * y + c[5]
+        e2 = c[6] * x + c[7] * y + c[8]
+        zlin = c[9] * x + c[10] * y + c[11]
+        det = c[12]
+        sgn = jnp.sign(det)
+        covered = (e0 * sgn >= 0) & (e1 * sgn >= 0) & (e2 * sgn >= 0) & (det != 0)
+        z = zlin / jnp.where(det != 0.0, det, 1.0)
+        ok = covered & (z >= -1.0) & (z <= 1.0) & (z < zbest)
+        tri_id = tidx_ref[0, k] + 1
+        zbest = jnp.where(ok, z, zbest)
+        ibest = jnp.where(ok, tri_id, ibest)
+        return zbest, ibest
+
+    zinit = jnp.full((th, tw), jnp.inf, jnp.float32)
+    iinit = jnp.zeros((th, tw), jnp.int32)
+    _, ibest = jax.lax.fori_loop(0, count, body, (zinit, iinit))
+    out_ref[0] = ibest
+
+
+def raster_ids_pallas(
+    coef: Array,
+    tile_idx: Array,
+    tile_counts: Array,
+    resolution: Tuple[int, int],
+    tile_hw: Tuple[int, int] = (32, 128),
+    interpret: bool = False,
+) -> Array:
+    """Binned Pallas triangle-id search.
+
+    Args:
+        coef: (B, T, 16) packed setup rows (stop_gradient upstream).
+        tile_idx: (num_tiles, K) int32 triangle indices per tile (from
+            bin_triangles; shared across the batch).
+        tile_counts: (num_tiles,) int32 valid entries per tile.
+        resolution: (H, W) true output resolution.
+        tile_hw: (th, tw) pixels per tile; tw should be a lane multiple (128).
+        interpret: run the kernel in interpreter mode (CPU tests).
+
+    Returns:
+        ids: (B, H, W) int32.
+    """
+    coef = jax.lax.stop_gradient(coef)
+    b, t_count, _ = coef.shape
+    h, w = resolution
+    th, tw = tile_hw
+    nty = -(-h // th)
+    ntx = -(-w // tw)
+    num_tiles, k = tile_idx.shape
+
+    # Pre-gather setup rows per tile (shared index list -> broadcast gather).
+    # Out-of-range sentinel rows (idx == T) clamp to row T-1 but their count
+    # guard in the kernel ignores them; clamp keeps the gather in-bounds.
+    safe_idx = jnp.minimum(tile_idx, t_count - 1)
+    gathered = coef[:, safe_idx]  # (B, num_tiles, K, 16)
+
+    kernel = functools.partial(
+        _raster_tile_kernel, th=th, tw=tw, ntx=ntx, h=h, w=w
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, num_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, k, SETUP_WIDTH),
+                # index maps receive the scalar-prefetch ref as trailing arg
+                lambda bi, ti, counts: (bi, ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, k), lambda bi, ti, counts: (ti, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, tw),
+            lambda bi, ti, counts: (bi, ti // ntx, ti % ntx),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    ids_padded = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, nty * th, ntx * tw), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_counts, gathered, tile_idx)
+    return ids_padded[:, :h, :w]
+
+
+# ---------------------------------------------------------------------------
+# Phase B — differentiable shade from ids
+# ---------------------------------------------------------------------------
+
+def rast_from_ids(
+    ids: Array,
+    setup: TriangleSetup,
+    resolution: Tuple[int, int],
+    with_db: bool = True,
+) -> Tuple[Array, Optional[Array]]:
+    """Recompute (u, v, z/w) differentiably for the chosen triangle per pixel.
+
+    Args:
+        ids: (B, H, W) int32 triangle ids (+1, 0 = background). No gradients.
+        setup: TriangleSetup with gradients intact w.r.t. pos_clip.
+        resolution: (H, W).
+        with_db: also return image-space bary derivatives (rast_db).
+
+    Returns:
+        rast (B,H,W,4) = (u, v, z/w, id_float); rast_db (B,H,W,4) or None.
+    """
+    h, w = resolution
+    x, y = pixel_ndc(resolution, setup.coef.dtype)
+    fg = (ids > 0)[..., None]
+    idx = jnp.maximum(ids - 1, 0)
+
+    rows = jnp.take_along_axis(
+        setup.coef, idx.reshape(ids.shape[0], -1, 1), axis=1
+    ).reshape(ids.shape + (SETUP_WIDTH,))  # (B, H, W, 16)
+
+    e0 = rows[..., 0] * x + rows[..., 1] * y + rows[..., 2]
+    e1 = rows[..., 3] * x + rows[..., 4] * y + rows[..., 5]
+    e2 = rows[..., 6] * x + rows[..., 7] * y + rows[..., 8]
+    zlin = rows[..., 9] * x + rows[..., 10] * y + rows[..., 11]
+    det = rows[..., 12]
+
+    s = e0 + e1 + e2
+    s_safe = jnp.where(jnp.abs(s) > 1e-30, s, 1.0)
+    det_safe = jnp.where(det != 0.0, det, 1.0)
+    u = e1 / s_safe  # nvdiffrast convention: u weights vertex 1
+    v = e2 / s_safe  # v weights vertex 2
+    zw = zlin / det_safe
+
+    rast = jnp.stack([u, v, zw, ids.astype(setup.coef.dtype)], axis=-1)
+    rast = jnp.where(fg, rast, 0.0)
+
+    if not with_db:
+        return rast, None
+
+    # d(u)/d(pixel): u = e1/s with e1, s affine in NDC (X, Y);
+    # dX/dpx = 2/W, dY/dpy = 2/H.
+    ax_s = rows[..., 0] + rows[..., 3] + rows[..., 6]
+    ay_s = rows[..., 1] + rows[..., 4] + rows[..., 7]
+    inv_s2 = 1.0 / (s_safe * s_safe)
+    dudx = (rows[..., 3] * s - e1 * ax_s) * inv_s2 * (2.0 / w)
+    dudy = (rows[..., 4] * s - e1 * ay_s) * inv_s2 * (2.0 / h)
+    dvdx = (rows[..., 6] * s - e2 * ax_s) * inv_s2 * (2.0 / w)
+    dvdy = (rows[..., 7] * s - e2 * ay_s) * inv_s2 * (2.0 / h)
+    db = jnp.stack([dudx, dudy, dvdx, dvdy], axis=-1)
+    db = jnp.where(fg, db, 0.0)
+    return rast, db
+
+
+# ---------------------------------------------------------------------------
+# Public op
+# ---------------------------------------------------------------------------
+
+def rasterize(
+    pos_clip: Array,
+    tri: Array,
+    resolution: Tuple[int, int],
+    *,
+    impl: str = "auto",
+    tile_hw: Tuple[int, int] = (32, 128),
+    max_tris_per_tile: int = 1024,
+    with_db: bool = True,
+    interpret: Optional[bool] = None,
+) -> Tuple[Array, Optional[Array]]:
+    """nvdiffrast-compatible rasterization (no GL context needed — pure fn).
+
+    Args:
+        pos_clip: (B, N, 4) float32 clip-space positions (differentiable).
+        tri: (T, 3) int32 triangle indices.
+        resolution: (H, W) output size.
+        impl: 'pallas' | 'reference' | 'auto' (pallas unless the scene is
+            tiny, where brute force compiles leaner).
+        tile_hw / max_tris_per_tile: Pallas binning configuration.
+        with_db: return rast_db (bary pixel derivatives) as second output.
+        interpret: force Pallas interpreter mode; defaults to True off-TPU.
+
+    Returns:
+        (rast, rast_db): (B,H,W,4) each; rast_db is None if with_db=False.
+    """
+    setup = triangle_setup(pos_clip, tri)
+    t_count = tri.shape[0]
+    if impl == "auto":
+        impl = "reference" if t_count <= 256 else "pallas"
+
+    if impl == "reference":
+        ids = raster_ids_reference(setup.coef, resolution)
+    elif impl == "pallas":
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu", "axon")
+        idx, counts, _overflow = bin_triangles(
+            pos_clip, tri, setup.det, resolution, tile_hw, max_tris_per_tile
+        )
+        ids = raster_ids_pallas(
+            setup.coef, idx, counts, resolution, tile_hw, interpret=interpret
+        )
+    else:
+        raise ValueError(f"unknown rasterize impl {impl!r}")
+
+    ids = jax.lax.stop_gradient(ids)
+    return rast_from_ids(ids, setup, resolution, with_db=with_db)

@@ -91,6 +91,21 @@ def triangle_setup(pos_clip: Array, tri: Array) -> TriangleSetup:
     det = jnp.sum(c0 * a0, axis=-1)  # (B, T)
     zc = z[..., 0:1] * c0 + z[..., 1:2] * c1 + z[..., 2:3] * c2
 
+    # Degenerate triangles (repeated vertex indices — including the zero-index
+    # padding rows from mesh.py) must be *exactly* rejected.  Algebraically
+    # their cross products vanish, but XLA's FMA contraction leaves ~1e-7
+    # residues whose identical coefficient rows pass the same-sign coverage
+    # test along a whole half-plane (renders as a stray line).  Zero them.
+    degenerate = (
+        (tri[..., 0] == tri[..., 1])
+        | (tri[..., 1] == tri[..., 2])
+        | (tri[..., 2] == tri[..., 0])
+    )
+    keep = ~degenerate  # (T,)
+    keepf = keep.astype(det.dtype)[..., None]
+    c0, c1, c2, zc = c0 * keepf, c1 * keepf, c2 * keepf, zc * keepf
+    det = jnp.where(keep, det, 0.0)
+
     pad = jnp.zeros(det.shape + (3,), det.dtype)
     coef = jnp.concatenate([c0, c1, c2, zc, det[..., None], pad], axis=-1)
     return TriangleSetup(coef=coef)

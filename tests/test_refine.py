@@ -1,0 +1,159 @@
+"""End-to-end pose refinement on a synthetic scene (the minimum slice).
+
+Render a ground-truth pose, perturb it, and check the scan-based refiner
+pulls the pose back — the core capability of the framework (reference
+simple_scene.py flow, SURVEY.md section 7 "minimum end-to-end slice").
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffdope_tpu import geometry as geo
+from diffdope_tpu.losses import select_losses
+from diffdope_tpu.optimize import (
+    argmin_hypothesis,
+    draw_learning_rates,
+    pose_matrix,
+    pose_params,
+    refine,
+)
+from diffdope_tpu.render.pipeline import render_batch
+
+RES = (48, 48)
+
+
+def _setup():
+    h, w = RES
+    f = 48.0
+    proj = jnp.asarray(
+        geo.projection_from_intrinsics(f, f, w / 2, h / 2, w, h, 0.01, 100.0),
+        jnp.float32,
+    )
+    v = np.array(
+        [[-0.4, -0.4, 0.0], [0.4, -0.4, 0.0], [0.4, 0.4, 0.0], [-0.4, 0.4, 0.0],
+         [0.0, 0.0, 0.3]],
+        np.float32,
+    )
+    f_idx = np.array(
+        [[0, 1, 2], [0, 2, 3], [0, 1, 4], [1, 2, 4], [2, 3, 4], [3, 0, 4]], np.int32
+    )
+    # distinct colors give the rgb loss rotational signal
+    col = np.array(
+        [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0], [1, 0, 1]], np.float32
+    )
+    pos, tri, vtx_color = jnp.asarray(v), jnp.asarray(f_idx), jnp.asarray(col)
+
+    def render_fn(mtx):
+        return render_batch(
+            proj, mtx, pos, tri, RES, vtx_color=vtx_color, raster_impl="reference"
+        )
+
+    return render_fn
+
+
+def test_pose_recovery_translation():
+    render_fn = _setup()
+    q_gt = np.array([0.0, 0.0, 0.0, 1.0], np.float32)
+    t_gt = np.array([0.0, 0.0, -3.0], np.float32)
+    mtx_gt, _, _ = pose_matrix(pose_params(q_gt, t_gt, 1))
+    gt_render = render_fn(mtx_gt)
+    gt = {
+        "rgb": jax.lax.stop_gradient(gt_render["rgb"][0]),
+        "segmentation": jax.lax.stop_gradient(gt_render["mask"][0]),
+        "depth": jax.lax.stop_gradient(gt_render["depth"][0]),
+    }
+
+    # perturbed init: shifted in x/y
+    b = 4
+    t0 = t_gt + np.array([0.25, -0.18, 0.0], np.float32)
+    params0 = pose_params(q_gt, t0, b)
+    loss_fns, weights = select_losses(
+        {"l1_mask": True, "weight_mask": 1.0, "l1_rgb_with_mask": True, "weight_rgb": 0.7}
+    )
+    lrs = draw_learning_rates(jax.random.PRNGKey(0), b, (0.5, 4.0))
+
+    run = jax.jit(
+        lambda p: refine(
+            p, render_fn, loss_fns, gt, lrs, weights,
+            nb_iterations=40, base_lr=0.4, lr_decay=0.1, optimizer="adam",
+        )
+    )
+    result = run(params0)
+
+    best = int(argmin_hypothesis(result.losses_values))
+    mtx_final = np.asarray(result.mtx_history[-1, best])
+    err0 = np.linalg.norm(t0 - t_gt)
+    err1 = np.linalg.norm(mtx_final[:3, 3] - t_gt)
+    assert err1 < err0 * 0.35, (err0, err1)
+    # loss decreased for the winning hypothesis
+    mask_log = np.asarray(result.losses_values["mask_selection"])[:, best]
+    assert mask_log[-1] < mask_log[0] * 0.7
+
+
+def test_pose_recovery_rotation():
+    render_fn = _setup()
+    q_gt = np.array([0.0, 0.0, 0.0, 1.0], np.float32)
+    t_gt = np.array([0.0, 0.0, -3.0], np.float32)
+    mtx_gt, _, _ = pose_matrix(pose_params(q_gt, t_gt, 1))
+    gt_render = render_fn(mtx_gt)
+    gt = {
+        "rgb": jax.lax.stop_gradient(gt_render["rgb"][0]),
+        "segmentation": jax.lax.stop_gradient(gt_render["mask"][0]),
+        "depth": jax.lax.stop_gradient(gt_render["depth"][0]),
+    }
+    b = 4
+    q0 = geo.quat_from_axis_angle(np.array([0.3, 1.0, 0.2]), np.deg2rad(18.0))
+    params0 = pose_params(q0.astype(np.float32), t_gt, b)
+    loss_fns, weights = select_losses(
+        {"l1_mask": True, "weight_mask": 1.0, "l1_rgb_with_mask": True, "weight_rgb": 2.0}
+    )
+    lrs = draw_learning_rates(jax.random.PRNGKey(1), b, (0.5, 4.0))
+
+    run = jax.jit(
+        lambda p: refine(
+            p, render_fn, loss_fns, gt, lrs, weights,
+            nb_iterations=80, base_lr=0.5, lr_decay=0.1, optimizer="adam",
+        )
+    )
+    result = run(params0)
+    best = int(argmin_hypothesis(result.losses_values))
+    r_final = np.asarray(result.mtx_history[-1, best])[:3, :3]
+    r_gt = np.asarray(geo.matrix33_from_quat(jnp.asarray(q_gt)))
+
+    def angle_err(ra, rb):
+        c = (np.trace(ra.T @ rb) - 1) / 2
+        return np.degrees(np.arccos(np.clip(c, -1, 1)))
+
+    r0 = np.asarray(geo.matrix33_from_quat(jnp.asarray(q0)))
+    assert angle_err(r_final, r_gt) < angle_err(r0, r_gt) * 0.6, (
+        angle_err(r0, r_gt), angle_err(r_final, r_gt))
+    rgb_log = np.asarray(result.losses_values["rgb"])[:, best]
+    assert rgb_log[-1] < rgb_log[0] * 0.6
+
+
+def test_history_shapes_and_argmin():
+    render_fn = _setup()
+    b = 3
+    params0 = pose_params(
+        np.array([0, 0, 0, 1.0], np.float32), np.array([0, 0, -3.0], np.float32), b
+    )
+    mtx_gt, _, _ = pose_matrix(pose_params(
+        np.array([0, 0, 0, 1.0], np.float32), np.array([0, 0, -3.0], np.float32), 1))
+    gtr = render_fn(mtx_gt)
+    gt = {k: jax.lax.stop_gradient(v[0]) for k, v in
+          [("rgb", gtr["rgb"]), ("segmentation", gtr["mask"]), ("depth", gtr["depth"])]}
+    loss_fns, weights = select_losses(
+        {"l1_mask": True, "weight_mask": 1.0, "l1_depth_with_mask": True, "weight_depth": 1.0}
+    )
+    lrs = draw_learning_rates(jax.random.PRNGKey(2), b, (0.01, 100.0))
+    result = jax.jit(
+        lambda p: refine(p, render_fn, loss_fns, gt, lrs, weights, nb_iterations=5)
+    )(params0)
+    assert result.mtx_history.shape == (6, b, 4, 4)
+    assert set(result.losses_values) == {"mask_selection", "depth"}
+    assert result.losses_values["depth"].shape == (6, b)
+    idx = int(argmin_hypothesis(result.losses_values))
+    assert 0 <= idx < b
