@@ -1,0 +1,137 @@
+"""Headline benchmark: pose refinements per second on one TPU chip.
+
+North-star target (BASELINE.md): 64 pose hypotheses, 100 Adam steps at
+400x400, one BOP-scale object, in under 1 second on a single v5e chip.
+The reference publishes no numbers (BASELINE.md) — the baseline is the
+driver-set 1.0 refinement/s target, so vs_baseline = refinements/sec.
+
+Prints exactly ONE JSON line on stdout.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+
+BATCH = 64
+STEPS = 100  # nb_iterations=99 -> 100 optimization steps
+RES = (400, 400)
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def build_problem():
+    """AlphabetSoup (real BOP-scale mesh, 13.8k tris) when available;
+    otherwise a synthetic icosphere of comparable complexity."""
+    import jax.numpy as jnp
+
+    from diffdope_tpu import geometry as geo
+    from diffdope_tpu.mesh import load_mesh
+    from diffdope_tpu.optimize import pose_matrix, pose_params
+    from diffdope_tpu.render.pipeline import render_batch
+
+    h, w = RES
+    f = 1.2 * max(h, w)
+    proj = jnp.asarray(
+        geo.projection_from_intrinsics(f, f, w / 2, h / 2, w, h, 0.01, 100.0),
+        jnp.float32,
+    )
+
+    mesh_path = Path("/root/reference/data/example/mesh/AlphabetSoup.ply")
+    if mesh_path.exists():
+        m = load_mesh(mesh_path, scale=0.01, vertex_pad=128, triangle_pad=128)
+        pos = jnp.asarray(m.pos)
+        tri = jnp.asarray(m.pos_idx)
+        edge_adj = jnp.asarray(m.edge_adj)
+        kw = dict(uv=jnp.asarray(m.uv), uv_idx=jnp.asarray(m.uv_idx), tex=jnp.asarray(m.tex))
+        log(f"mesh: AlphabetSoup {m.num_triangles} tris (textured)")
+    else:
+        from diffdope_tpu.mesh import build_edge_adjacency
+        from diffdope_tpu.testing import icosphere
+
+        v, fc = icosphere(5)  # 20480 tris
+        pos = jnp.asarray(v * 0.4)
+        tri = jnp.asarray(fc)
+        edge_adj = jnp.asarray(build_edge_adjacency(fc))
+        kw = dict(vtx_color=jnp.asarray((v * 0.5 + 0.5).astype(np.float32)))
+        log("mesh: synthetic icosphere 20480 tris")
+
+    def render_fn(mtx):
+        return render_batch(
+            proj, mtx, pos, tri, RES, edge_adj=edge_adj,
+            raster_impl="pallas", tile_hw=(32, 128), max_tris_per_tile=1024,
+            **kw,
+        )
+
+    rng = np.random.default_rng(0)
+    q_gt = geo.quat_from_axis_angle(np.array([0.2, 1.0, 0.1]), 0.8)
+    t_gt = np.array([0.0, 0.0, -7.0])
+    mtx_gt, _, _ = pose_matrix(pose_params(q_gt, t_gt, 1))
+    gt_render = render_fn(mtx_gt)
+    gt = {
+        "rgb": gt_render["rgb"][0],
+        "segmentation": gt_render["mask"][0],
+        "depth": gt_render["depth"][0],
+    }
+
+    dq = geo.quat_from_axis_angle(rng.normal(size=3), np.deg2rad(8.0))
+    q0 = np.asarray(geo.quat_multiply(jnp.asarray(dq), jnp.asarray(q_gt)))
+    t0 = t_gt + np.array([0.05, -0.04, 0.1])
+    params0 = pose_params(q0.astype(np.float32), t0.astype(np.float32), BATCH)
+    return render_fn, gt, params0
+
+
+def main():
+    import jax
+
+    from diffdope_tpu.losses import select_losses
+    from diffdope_tpu.optimize import draw_learning_rates, refine
+
+    log(f"devices: {jax.devices()}")
+    render_fn, gt, params0 = build_problem()
+    loss_fns, weights = select_losses(
+        {"l1_mask": True, "weight_mask": 1.0, "l1_rgb_with_mask": True, "weight_rgb": 0.7}
+    )
+    lrs = draw_learning_rates(jax.random.PRNGKey(0), BATCH, (0.5, 4.0))
+
+    run = jax.jit(
+        lambda p: refine(
+            p, render_fn, loss_fns, gt, lrs, weights,
+            nb_iterations=STEPS - 1, base_lr=0.02, lr_decay=0.1, optimizer="adam",
+        )
+    )
+
+    # compile + warm up
+    t0 = time.perf_counter()
+    result = run(params0)
+    jax.block_until_ready(result.mtx_history)
+    log(f"first run (incl. compile): {time.perf_counter() - t0:.2f}s")
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        result = run(params0)
+        jax.block_until_ready(result.mtx_history)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    log(f"steady-state refinement times: {[f'{t:.3f}' for t in times]}")
+    log(f"final loss: {float(np.asarray(result.total_loss)[-1]):.5f}")
+
+    value = 1.0 / dt  # refinements per second (64 hyps, 100 steps, 400x400)
+    print(json.dumps({
+        "metric": "pose_refinements_per_sec",
+        "value": round(value, 3),
+        "unit": f"refinements/s (B={BATCH}, {STEPS} adam steps, {RES[0]}x{RES[1]})",
+        "vs_baseline": round(value / 1.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

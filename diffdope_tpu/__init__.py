@@ -17,6 +17,20 @@ Design (TPU-first, not a port):
 """
 
 from diffdope_tpu.config import ConfigNode, load_config
+from diffdope_tpu.camera import Camera
+from diffdope_tpu.image import Image, Scene
+from diffdope_tpu.mesh import Mesh, load_mesh
+from diffdope_tpu.object3d import Object3D
+from diffdope_tpu.diffdope import DiffDope
+from diffdope_tpu.losses import (
+    LOSS_REGISTRY,
+    dist_batch_lr,
+    l1_depth_with_mask,
+    l1_mask,
+    l1_rgb_with_mask,
+    register_loss,
+)
+from diffdope_tpu.render import antialias, interpolate, rasterize, render_batch, texture
 from diffdope_tpu.geometry import (
     matrix33_from_quat,
     matrix44_from_quat_trans,

@@ -1,0 +1,386 @@
+"""DiffDope orchestrator — the user-facing refinement object.
+
+Reference: the `DiffDope` dataclass (diffdope/diffdope.py:1267-1725).  Same
+surface: construct from a config (`DiffDope(cfg=cfg)`), `run_optimization()`,
+`get_argmin()`, `get_pose()`, `render_img()`, `make_animation()`,
+`plot_losses()`, `add_loss_value()`, `set_batchsize()`.
+
+TPU-native architecture (functional core / object shell):
+
+* the optimization is one jitted `lax.scan` (optimize.refine) — the
+  reference's 61 host-driven steps with per-step device->CPU render copies
+  (diffdope.py:1698-1703) become zero host round trips;
+* `optimization_results` is a lazy view (`RenderHistory`) that re-renders
+  any requested step from the tiny stored pose trajectory instead of
+  holding ~GBs of per-step images — same indexing contract
+  (`results[i]['rgb'|'depth'|'mask'|'mtx']`);
+* images/meshes are never stacked per hypothesis; the batch axis exists
+  only on the 7 pose scalars and the rendered outputs, and can be sharded
+  across chips (parallel.py).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffdope_tpu.camera import Camera
+from diffdope_tpu.config import ConfigNode
+from diffdope_tpu.image import Scene
+from diffdope_tpu.losses import select_losses
+from diffdope_tpu.object3d import Object3D
+from diffdope_tpu.optimize import (
+    argmin_hypothesis,
+    draw_learning_rates,
+    refine,
+)
+from diffdope_tpu.render.pipeline import render_batch
+from diffdope_tpu import viz
+
+log = logging.getLogger(__name__)
+
+
+class RenderHistory:
+    """Lazy per-step render access over the stored pose trajectory.
+
+    Mirrors the reference's `optimization_results` list of dicts
+    (diffdope.py:1698-1703) without materializing every frame: renders are
+    produced on demand from `mtx_history[i]` and memoized.
+    """
+
+    def __init__(self, ddope: "DiffDope"):
+        self._dd = ddope
+        self._cache: Dict[int, dict] = {}
+
+    def __len__(self) -> int:
+        h = self._dd.mtx_history
+        return 0 if h is None else h.shape[0]
+
+    def __getitem__(self, index: int) -> dict:
+        n = len(self)
+        if index < 0:
+            index += n
+        if not 0 <= index < n:
+            raise IndexError(index)
+        if index not in self._cache:
+            mtx = jnp.asarray(self._dd.mtx_history[index])
+            renders = self._dd._render(mtx)
+            entry = {
+                "rgb": np.asarray(renders["rgb"]),
+                "depth": np.asarray(renders["depth"]),
+                "mask": np.asarray(renders["mask"]),
+                "mtx": np.asarray(self._dd.mtx_history[index]),
+            }
+            if len(self._cache) > 8:  # bound memory
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[index] = entry
+        return self._cache[index]
+
+
+class DiffDope:
+    """Differentiable pose refinement session (reference diffdope.py:1267-).
+
+    Args:
+        cfg: ConfigNode (see configs/diffdope.yaml); groups `camera`,
+            `object3d`, `scene`, `losses`, `hyperparameters`, and the
+            TPU-specific `tpu` group.
+        camera / object3d / scene: optional pre-built components (the BOP
+            sweep swaps these in place, reference run_bop_scene.py:82-83).
+    """
+
+    def __init__(
+        self,
+        cfg: Optional[ConfigNode] = None,
+        camera: Optional[Camera] = None,
+        object3d: Optional[Object3D] = None,
+        scene: Optional[Scene] = None,
+        batchsize: Optional[int] = None,
+    ):
+        self.cfg = cfg if cfg is not None else ConfigNode()
+        tpu_cfg = self.cfg.get("tpu", ConfigNode())
+        self.seed = int(tpu_cfg.get("seed", 0))
+        self.optimizer_name = str(tpu_cfg.get("optimizer", "sgd"))
+        self.raster_impl = str(tpu_cfg.get("raster_impl", "auto"))
+        self.tile_hw = (int(tpu_cfg.get("tile_h", 32)), int(tpu_cfg.get("tile_w", 128)))
+        self.max_tris_per_tile = int(tpu_cfg.get("max_tris_per_tile", 1024))
+
+        self.camera = camera if camera is not None else Camera(**self.cfg.camera)
+        self.object3d = (
+            object3d if object3d is not None else Object3D(**self.cfg.object3d)
+        )
+        self.scene = scene if scene is not None else Scene(**self.cfg.scene)
+
+        hp = self.cfg.get("hyperparameters", ConfigNode())
+        self.batchsize = int(batchsize or hp.get("batchsize", 16))
+        self.nb_iterations = int(hp.get("nb_iterations", 60))
+        self.base_lr = float(hp.get("base_lr", 20.0))
+        self.lr_decay = float(hp.get("lr_decay", 0.1))
+        self.learning_rates_bound = list(hp.get("learning_rates_bound", [0.01, 100]))
+
+        self.resolution = self.scene.get_resolution()  # [H, W]
+        self.loss_functions, self.loss_weights = select_losses(
+            self.cfg.get("losses", ConfigNode({"l1_mask": True}))
+        )
+
+        # host-side state
+        self.mtx_history: Optional[np.ndarray] = None
+        self.losses_values: Dict[str, np.ndarray] = {}
+        self.optimization_results = RenderHistory(self)
+        self._render_jit = None
+        self._refine_jit = None
+        self.last_run_stats: Dict[str, float] = {}
+
+        self.set_batchsize(self.batchsize)
+        log.info("batchsize is %d", self.batchsize)
+        log.info("%s", self.object3d)
+
+    # ------------------------------------------------------------------ #
+    # configuration
+    # ------------------------------------------------------------------ #
+    def set_batchsize(self, batchsize: int) -> None:
+        """Set the pose-hypothesis count and redraw the per-hypothesis loss
+        scales (seeded PRNG — fixes the reference's unseeded TODO,
+        diffdope.py:1367-1375)."""
+        self.batchsize = int(batchsize)
+        self.object3d.set_batchsize(self.batchsize)
+        self.learning_rates = draw_learning_rates(
+            jax.random.PRNGKey(self.seed), self.batchsize, self.learning_rates_bound
+        )
+        self._refine_jit = None  # shape changed; retrace
+
+    def add_loss_function(self, fn: Callable) -> None:
+        """Append a custom loss with the functional signature
+        ``fn(renders, gt, learning_rates, weights) -> (scalar, (key, (B,)))``
+        (replaces the reference's DiffDope-mutating user losses,
+        diffdope.py:1283)."""
+        self.loss_functions = list(self.loss_functions) + [fn]
+        self._refine_jit = None
+
+    @property
+    def gt_tensors(self) -> Dict[str, np.ndarray]:
+        """Ground-truth arrays {'rgb','depth','segmentation'} (unbatched)."""
+        return self.scene.gt_arrays()
+
+    # ------------------------------------------------------------------ #
+    # render closure
+    # ------------------------------------------------------------------ #
+    def _mesh_arrays(self) -> dict:
+        mesh = self.object3d.mesh
+        if mesh is None:
+            raise ValueError("Object3D has no mesh attached")
+        out = {
+            "pos": jnp.asarray(mesh.pos),
+            "pos_idx": jnp.asarray(mesh.pos_idx),
+            "edge_adj": jnp.asarray(mesh.edge_adj) if mesh.edge_adj is not None else None,
+        }
+        if mesh.has_textured_map:
+            out.update(
+                uv=jnp.asarray(mesh.uv),
+                uv_idx=jnp.asarray(mesh.uv_idx),
+                tex=jnp.asarray(mesh.tex),
+            )
+        else:
+            out["vtx_color"] = jnp.asarray(mesh.vtx_color)
+        return out
+
+    def _make_render_fn(self):
+        arrays = self._mesh_arrays()
+        proj = jnp.asarray(self.camera.cam_proj, jnp.float32)
+        resolution = tuple(self.resolution)
+
+        def render_fn(mtx, tex=None, vtx_color=None):
+            kw = dict(arrays)
+            if tex is not None:
+                kw["tex"] = tex
+            if vtx_color is not None:
+                kw["vtx_color"] = vtx_color
+            return render_batch(
+                proj,
+                mtx,
+                resolution=resolution,
+                raster_impl=self.raster_impl,
+                tile_hw=self.tile_hw,
+                max_tris_per_tile=self.max_tris_per_tile,
+                **kw,
+            )
+
+        return render_fn
+
+    def _render(self, mtx):
+        if self._render_jit is None:
+            self._render_jit = jax.jit(self._make_render_fn())
+        return self._render_jit(mtx)
+
+    # ------------------------------------------------------------------ #
+    # optimization
+    # ------------------------------------------------------------------ #
+    def run_optimization(self) -> None:
+        """Run the full refinement (one compiled scan on device).
+
+        Reference flow: diffdope.py:1634-1714.  Populates `losses_values`,
+        `mtx_history`, and the lazy `optimization_results`.
+        """
+        gt = {k: jnp.asarray(v) for k, v in self.gt_tensors.items()}
+        render_fn = self._make_render_fn()
+        params0 = self.object3d.initial_params(self.batchsize)
+
+        if self._refine_jit is None:
+            self._refine_jit = jax.jit(
+                partial(
+                    refine,
+                    render_fn=render_fn,
+                    loss_fns=tuple(self.loss_functions),
+                    weights=self.loss_weights,
+                    nb_iterations=self.nb_iterations,
+                    base_lr=self.base_lr,
+                    lr_decay=self.lr_decay,
+                    optimizer=self.optimizer_name,
+                )
+            )
+
+        t0 = time.perf_counter()
+        result = self._refine_jit(params0, gt=gt, learning_rates=self.learning_rates)
+        jax.block_until_ready(result.mtx_history)
+        dt = time.perf_counter() - t0
+
+        self._result = result
+        self.mtx_history = np.asarray(result.mtx_history)
+        self.losses_values = {k: np.asarray(v) for k, v in result.losses_values.items()}
+        self.optimization_results = RenderHistory(self)
+        steps = self.nb_iterations + 1
+        self.last_run_stats = {
+            "wall_time_s": dt,
+            "steps": steps,
+            "steps_per_sec": steps / dt,
+            "final_loss": float(np.asarray(result.total_loss)[-1]),
+        }
+        log.info(
+            "refined %d hypotheses, %d steps in %.3fs (%.1f steps/s), final loss %.5f",
+            self.batchsize, steps, dt, steps / dt, self.last_run_stats["final_loss"],
+        )
+
+    @property
+    def renders(self) -> dict:
+        """Final-step renders (lazy; reference stores `self.renders` during
+        the loop, diffdope.py:1676-1697)."""
+        return self.optimization_results[-1]
+
+    def add_loss_value(self, key: str, values) -> None:
+        """Append per-hypothesis values to the logged loss curves (reference
+        diffdope.py:1554-1571) — for host-side custom metrics."""
+        values = np.asarray(values)[None]
+        if key not in self.losses_values:
+            self.losses_values[key] = values
+        else:
+            self.losses_values[key] = np.concatenate(
+                [self.losses_values[key], values], axis=0
+            )
+
+    # ------------------------------------------------------------------ #
+    # results
+    # ------------------------------------------------------------------ #
+    def get_argmin(self) -> int:
+        """Best hypothesis index (reference diffdope.py:1488-1513)."""
+        if not self.losses_values:
+            return 0
+        return int(argmin_hypothesis({k: jnp.asarray(v) for k, v in self.losses_values.items()}))
+
+    def get_pose(self, batch_index: int = -1) -> np.ndarray:
+        """Refined 4x4 pose (OpenGL frame, like the reference's
+        diffdope.py:1618-1632).  batch_index=-1 selects the argmin."""
+        if batch_index == -1:
+            batch_index = self.get_argmin()
+        return self.mtx_history[-1][batch_index]
+
+    def get_pose_opencv(self, batch_index: int = -1) -> np.ndarray:
+        """Refined pose converted back to the OpenCV/BOP frame
+        (cam_R_m2c/cam_t_m2c) for ADD(-S) evaluation."""
+        from diffdope_tpu.geometry import opengl_to_opencv
+
+        return opengl_to_opencv(self.get_pose(batch_index))
+
+    # ------------------------------------------------------------------ #
+    # visualization (host-side)
+    # ------------------------------------------------------------------ #
+    def render_img(
+        self,
+        index: Optional[int] = None,
+        batch_index: Optional[int] = None,
+        render_selection: str = "rgb",
+    ) -> np.ndarray:
+        """Grid/overlay image of one optimization step (reference
+        diffdope.py:1377-1486)."""
+        ri = self.cfg.get("render_images", ConfigNode())
+        index = -1 if index is None else index
+        entry = self.optimization_results[index]
+        gu = entry[render_selection]
+        gt_map = {"rgb": "rgb", "depth": "depth", "mask": "segmentation"}
+        gt = self.gt_tensors.get(gt_map.get(render_selection, render_selection))
+
+        crop = None
+        if ri.get("crop_around_mask", False):
+            seg = self.gt_tensors.get("segmentation")
+            src = seg if seg is not None else gu[0]
+            crop = viz.find_crop(src)
+
+        def prep(arr, batched):
+            if arr is None:
+                return None
+            a = np.asarray(arr)
+            if not batched:
+                a = np.broadcast_to(a, (gu.shape[0],) + a.shape)
+            if a.ndim == 3:
+                a = viz.depth_to_rgb(a) if render_selection == "depth" else a[..., None]
+            if crop is not None:
+                t, l, s = crop
+                a = a[:, t : t + s + 1, l : l + s + 1]
+            return a
+
+        fg = prep(gu, batched=True)
+        bg = prep(gt, batched=False)
+        if batch_index is not None:
+            fg = fg[batch_index : batch_index + 1]
+            bg = bg[batch_index : batch_index + 1] if bg is not None else None
+
+        return viz.make_grid_overlay_batch(
+            foreground=fg,
+            background=bg,
+            alpha=float(ri.get("alpha_overlay", 0.7)),
+            row=int(ri.get("nrow", 4)),
+            final_width=int(ri.get("final_width_batch", 2000)),
+            add_background=bool(ri.get("add_background", True)),
+            add_contour=bool(ri.get("add_countour", True)),
+            color_contour=list(ri.get("color_countour", [0.46, 0.73, 0])),
+            flip_result=bool(ri.get("flip_result", True)),
+        )
+
+    def make_animation(
+        self,
+        output_file_path: str = "animation.mp4",
+        frame_rate: int = 10,
+        batch_index: int = -1,
+    ) -> None:
+        """Write the optimization as an mp4 (reference diffdope.py:1515-1552)."""
+        if batch_index == -1:
+            batch_index = self.get_argmin()
+
+        def frames():
+            for i in range(len(self.optimization_results)):
+                yield self.render_img(index=i, batch_index=batch_index)
+
+        viz.write_animation(frames(), output_file_path, frame_rate)
+
+    def plot_losses(self, batch_index: int = -1) -> Optional[np.ndarray]:
+        """Loss-curve plot as an image (reference diffdope.py:1573-1616)."""
+        if batch_index == -1:
+            batch_index = self.get_argmin()
+        return viz.plot_losses_image(self.losses_values, batch_index)
+
+    def cuda(self) -> None:
+        """No-op (device placement is jit/sharding-driven)."""

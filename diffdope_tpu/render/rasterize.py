@@ -106,12 +106,14 @@ def raster_ids_reference(
 # Phase A — Pallas tile kernel
 # ---------------------------------------------------------------------------
 
-def _raster_tile_kernel(counts_ref, coef_ref, tidx_ref, out_ref, *, th, tw, ntx, h, w):
+def _raster_tile_kernel(counts_ref, coef_ref, out_ref, *, th, tw, ntx, h, w):
     """One screen tile: z-tested triangle-id search over the tile's bin list.
 
     counts_ref: SMEM (num_tiles,) int32 — triangles in this tile's bin.
-    coef_ref:   VMEM (1, 1, K, 16) f32 — gathered setup rows for this tile.
-    tidx_ref:   VMEM (1, K) int32 — global triangle index per row.
+    coef_ref:   VMEM (1, 1, K, 16) f32 — gathered setup rows for this tile;
+                lane 13 carries the global triangle index as a float
+                (exact for T < 2**24; packing it here keeps every input
+                block shape legal for the (8,128) tiling rules).
     out_ref:    VMEM (1, th, tw) int32 — winning triangle id + 1 (0 = bg).
     """
     t = pl.program_id(1)
@@ -134,7 +136,7 @@ def _raster_tile_kernel(counts_ref, coef_ref, tidx_ref, out_ref, *, th, tw, ntx,
         covered = (e0 * sgn >= 0) & (e1 * sgn >= 0) & (e2 * sgn >= 0) & (det != 0)
         z = zlin / jnp.where(det != 0.0, det, 1.0)
         ok = covered & (z >= -1.0) & (z <= 1.0) & (z < zbest)
-        tri_id = tidx_ref[0, k] + 1
+        tri_id = c[13].astype(jnp.int32) + 1
         zbest = jnp.where(ok, z, zbest)
         ibest = jnp.where(ok, tri_id, ibest)
         return zbest, ibest
@@ -176,10 +178,13 @@ def raster_ids_pallas(
     num_tiles, k = tile_idx.shape
 
     # Pre-gather setup rows per tile (shared index list -> broadcast gather).
-    # Out-of-range sentinel rows (idx == T) clamp to row T-1 but their count
-    # guard in the kernel ignores them; clamp keeps the gather in-bounds.
+    # Out-of-range sentinel rows (idx == T) clamp to row T-1 but the per-tile
+    # count guard in the kernel never reads them; clamp keeps the gather
+    # in-bounds.  The global triangle index rides in float lane 13.
     safe_idx = jnp.minimum(tile_idx, t_count - 1)
     gathered = coef[:, safe_idx]  # (B, num_tiles, K, 16)
+    idx_f = safe_idx.astype(coef.dtype)  # (num_tiles, K); exact for T < 2**24
+    gathered = gathered.at[..., 13].set(jnp.broadcast_to(idx_f, gathered.shape[:-1]))
 
     kernel = functools.partial(
         _raster_tile_kernel, th=th, tw=tw, ntx=ntx, h=h, w=w
@@ -194,7 +199,6 @@ def raster_ids_pallas(
                 lambda bi, ti, counts: (bi, ti, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, k), lambda bi, ti, counts: (ti, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, th, tw),
@@ -207,7 +211,7 @@ def raster_ids_pallas(
         out_shape=jax.ShapeDtypeStruct((b, nty * th, ntx * tw), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_counts, gathered, tile_idx)
+    )(tile_counts, gathered)
     return ids_padded[:, :h, :w]
 
 

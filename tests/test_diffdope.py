@@ -1,0 +1,160 @@
+"""Orchestrator tests: the DiffDope session object on a synthetic scene."""
+
+import numpy as np
+import pytest
+
+import diffdope_tpu as dd
+from diffdope_tpu.mesh import Mesh, build_edge_adjacency
+from diffdope_tpu.testing import icosphere
+
+
+RES = (48, 64)  # H, W
+
+
+def _make_ddope(batchsize=3, nb_iterations=4):
+    h, w = RES
+    f = 60.0
+    camera = dd.Camera(fx=f, fy=f, cx=w / 2, cy=h / 2, im_width=w, im_height=h)
+
+    verts, faces = icosphere(1)
+    mesh = Mesh(
+        pos=verts * 0.4,
+        pos_idx=faces,
+        vtx_normals=verts,
+        num_vertices=len(verts),
+        num_triangles=len(faces),
+        vtx_color=(verts * 0.5 + 0.5).astype(np.float32),
+        edge_adj=build_edge_adjacency(faces),
+    )
+    obj = dd.Object3D(
+        position=[0.0, 0.0, 3.0],  # OpenCV frame: +z in front of camera
+        rotation=[0.0, 0.0, 0.0, 1.0],
+        batchsize=batchsize,
+        mesh=mesh,
+    )
+
+    # ground truth = render of a slightly different pose
+    import jax, jax.numpy as jnp
+    from diffdope_tpu.optimize import pose_matrix, pose_params
+    from diffdope_tpu.render.pipeline import render_batch
+
+    proj = jnp.asarray(camera.cam_proj)
+    gt_params = pose_params(
+        np.array([0, 0, 0, 1.0], np.float32), np.array([0.05, 0.0, -3.0], np.float32), 1
+    )
+    mtx_gt, _, _ = pose_matrix(gt_params)
+    gtr = jax.jit(
+        lambda m: render_batch(
+            proj, m, jnp.asarray(mesh.pos), jnp.asarray(mesh.pos_idx), RES,
+            vtx_color=jnp.asarray(mesh.vtx_color), raster_impl="reference",
+        )
+    )(mtx_gt)
+    scene = dd.Scene(
+        tensor_rgb=dd.Image(img_tensor=np.asarray(gtr["rgb"][0])),
+        tensor_depth=dd.Image(img_tensor=np.asarray(gtr["depth"][0]), depth=True),
+        tensor_segmentation=dd.Image(img_tensor=np.asarray(gtr["mask"][0])),
+    )
+
+    cfg = dd.ConfigNode(
+        {
+            "losses": {"l1_mask": True, "weight_mask": 1.0},
+            "hyperparameters": {
+                "batchsize": batchsize,
+                "nb_iterations": nb_iterations,
+                "base_lr": 0.3,
+                "lr_decay": 0.1,
+                "learning_rates_bound": [0.5, 2.0],
+            },
+            "render_images": {
+                "nrow": 2, "final_width_batch": 256, "crop_around_mask": True,
+                "alpha_overlay": 0.7, "add_background": True, "add_countour": True,
+                "color_countour": [0.46, 0.73, 0], "flip_result": True,
+            },
+            "tpu": {"seed": 1, "optimizer": "adam", "raster_impl": "reference"},
+        }
+    )
+    return dd.DiffDope(cfg=cfg, camera=camera, object3d=obj, scene=scene)
+
+
+@pytest.fixture(scope="module")
+def ddope():
+    d = _make_ddope()
+    d.run_optimization()
+    return d
+
+
+class TestDiffDope:
+    def test_history_and_losses(self, ddope):
+        assert ddope.mtx_history.shape == (5, 3, 4, 4)
+        assert "mask_selection" in ddope.losses_values
+        assert ddope.losses_values["mask_selection"].shape == (5, 3)
+        assert ddope.last_run_stats["steps"] == 5
+
+    def test_argmin_and_pose(self, ddope):
+        idx = ddope.get_argmin()
+        assert 0 <= idx < 3
+        pose = ddope.get_pose()
+        assert pose.shape == (4, 4)
+        np.testing.assert_allclose(pose[3], [0, 0, 0, 1], atol=1e-6)
+        pose_cv = ddope.get_pose_opencv()
+        # OpenCV frame: object in front of camera has +z
+        assert pose_cv[2, 3] > 0
+
+    def test_render_history_lazy(self, ddope):
+        entry = ddope.optimization_results[0]
+        assert entry["rgb"].shape == (3,) + RES + (3,)
+        assert entry["mask"].shape == (3,) + RES + (3,)
+        assert entry["depth"].shape == (3,) + RES
+        assert entry["mtx"].shape == (3, 4, 4)
+        assert len(ddope.optimization_results) == 5
+        # renders property = last step
+        assert ddope.renders["rgb"].shape == (3,) + RES + (3,)
+
+    def test_render_img_and_plot(self, ddope):
+        img = ddope.render_img()
+        assert img.ndim == 3 and img.dtype == np.uint8
+        img_one = ddope.render_img(index=0, batch_index=0)
+        assert img_one.ndim == 3
+        plot = ddope.plot_losses()
+        assert plot is not None and plot.ndim == 3
+
+    def test_loss_decreases(self, ddope):
+        log = ddope.losses_values["mask_selection"]
+        best = ddope.get_argmin()
+        assert log[-1, best] <= log[0, best]
+
+    def test_set_batchsize_redraws(self, ddope):
+        lrs_before = np.asarray(ddope.learning_rates)
+        ddope.set_batchsize(5)
+        assert ddope.learning_rates.shape == (5,)
+        ddope.set_batchsize(3)
+        np.testing.assert_allclose(np.asarray(ddope.learning_rates), lrs_before)
+
+
+class TestViz:
+    def test_find_crop(self):
+        from diffdope_tpu.viz import find_crop
+
+        img = np.zeros((20, 30, 3), np.float32)
+        img[5:10, 8:16] = 1.0
+        top, left, size = find_crop(img, percentage=0.0)
+        assert (top, left) == (5, 8)
+        assert size == max(9 - 5, 15 - 8)
+        with pytest.raises(ValueError):
+            find_crop(np.zeros((4, 4, 3)))
+
+    def test_make_grid(self):
+        from diffdope_tpu.viz import make_grid
+
+        imgs = np.random.default_rng(0).uniform(size=(5, 8, 6, 3)).astype(np.float32)
+        grid = make_grid(imgs, nrow=3, padding=2)
+        assert grid.shape == (2 + 2 * 10, 2 + 3 * 8, 3)
+        np.testing.assert_allclose(grid[2:10, 2:8], imgs[0])
+
+    def test_depth_to_rgb(self):
+        from diffdope_tpu.viz import depth_to_rgb
+
+        d = np.array([[-1.0, 1.5], [3.0, 0.0]], np.float32)
+        rgb = depth_to_rgb(d, depth_max=3.0)
+        np.testing.assert_allclose(rgb[0, 0], 1.0)  # negative -> max
+        np.testing.assert_allclose(rgb[0, 1], 0.5)

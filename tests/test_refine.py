@@ -59,7 +59,7 @@ def test_pose_recovery_translation():
     q_gt = np.array([0.0, 0.0, 0.0, 1.0], np.float32)
     t_gt = np.array([0.0, 0.0, -3.0], np.float32)
     mtx_gt, _, _ = pose_matrix(pose_params(q_gt, t_gt, 1))
-    gt_render = render_fn(mtx_gt)
+    gt_render = jax.jit(render_fn)(mtx_gt)
     gt = {
         "rgb": jax.lax.stop_gradient(gt_render["rgb"][0]),
         "segmentation": jax.lax.stop_gradient(gt_render["mask"][0]),
@@ -98,7 +98,7 @@ def test_pose_recovery_rotation():
     q_gt = np.array([0.0, 0.0, 0.0, 1.0], np.float32)
     t_gt = np.array([0.0, 0.0, -3.0], np.float32)
     mtx_gt, _, _ = pose_matrix(pose_params(q_gt, t_gt, 1))
-    gt_render = render_fn(mtx_gt)
+    gt_render = jax.jit(render_fn)(mtx_gt)
     gt = {
         "rgb": jax.lax.stop_gradient(gt_render["rgb"][0]),
         "segmentation": jax.lax.stop_gradient(gt_render["mask"][0]),
@@ -142,7 +142,7 @@ def test_history_shapes_and_argmin():
     )
     mtx_gt, _, _ = pose_matrix(pose_params(
         np.array([0, 0, 0, 1.0], np.float32), np.array([0, 0, -3.0], np.float32), 1))
-    gtr = render_fn(mtx_gt)
+    gtr = jax.jit(render_fn)(mtx_gt)
     gt = {k: jax.lax.stop_gradient(v[0]) for k, v in
           [("rgb", gtr["rgb"]), ("segmentation", gtr["mask"]), ("depth", gtr["depth"])]}
     loss_fns, weights = select_losses(
