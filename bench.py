@@ -50,8 +50,8 @@ def build_problem():
         pos = jnp.asarray(m.pos)
         tri = jnp.asarray(m.pos_idx)
         edge_adj = jnp.asarray(m.edge_adj)
-        kw = dict(uv=jnp.asarray(m.uv), uv_idx=jnp.asarray(m.uv_idx), tex=jnp.asarray(m.tex))
-        log(f"mesh: AlphabetSoup {m.num_triangles} tris (textured)")
+        kw = dict(corner_colors=jnp.asarray(m.corner_colors))
+        log(f"mesh: AlphabetSoup {m.num_triangles} tris (texture baked to corners)")
     else:
         from diffdope_tpu.mesh import build_edge_adjacency
         from diffdope_tpu.testing import icosphere
@@ -63,28 +63,42 @@ def build_problem():
         kw = dict(vtx_color=jnp.asarray((v * 0.5 + 0.5).astype(np.float32)))
         log("mesh: synthetic icosphere 20480 tris")
 
-    def render_fn(mtx):
+    import os
+    tile_h = int(os.environ.get("DD_TILE_H", "32"))
+    max_k = int(os.environ.get("DD_MAX_K", "1024"))
+
+    def render_fn(mtx, layout="channels"):
         return render_batch(
             proj, mtx, pos, tri, RES, edge_adj=edge_adj,
-            raster_impl="pallas", tile_hw=(32, 128), max_tris_per_tile=1024,
+            raster_impl="pallas", tile_hw=(tile_h, 128), max_tris_per_tile=max_k,
+            layout=layout,
             **kw,
         )
+
+    import jax
 
     rng = np.random.default_rng(0)
     q_gt = geo.quat_from_axis_angle(np.array([0.2, 1.0, 0.1]), 0.8)
     t_gt = np.array([0.0, 0.0, -7.0])
-    mtx_gt, _, _ = pose_matrix(pose_params(q_gt, t_gt, 1))
-    gt_render = render_fn(mtx_gt)
-    gt = {
-        "rgb": gt_render["rgb"][0],
-        "segmentation": gt_render["mask"][0],
-        "depth": gt_render["depth"][0],
-    }
+
+    # everything on-device must be jitted: under the axon backend each
+    # *distinct* eager primitive triggers a remote compile (~0.5s each)
+    @jax.jit
+    def make_gt(q, t):
+        mtx_gt, _, _ = pose_matrix(pose_params(q, t, 1))
+        r = render_fn(mtx_gt, layout="stacked")
+        return {"rgb": r["rgb"][0], "segmentation": r["mask"][0], "depth": r["depth"][0]}
+
+    t0 = time.perf_counter()
+    gt = make_gt(jnp.asarray(q_gt, jnp.float32), jnp.asarray(t_gt, jnp.float32))
+    jax.block_until_ready(gt["rgb"])
+    log(f"gt render (compile+run): {time.perf_counter() - t0:.2f}s")
 
     dq = geo.quat_from_axis_angle(rng.normal(size=3), np.deg2rad(8.0))
     q0 = np.asarray(geo.quat_multiply(jnp.asarray(dq), jnp.asarray(q_gt)))
     t0 = t_gt + np.array([0.05, -0.04, 0.1])
     params0 = pose_params(q0.astype(np.float32), t0.astype(np.float32), BATCH)
+
     return render_fn, gt, params0
 
 

@@ -179,20 +179,44 @@ class DiffDope:
             "pos_idx": jnp.asarray(mesh.pos_idx),
             "edge_adj": jnp.asarray(mesh.edge_adj) if mesh.edge_adj is not None else None,
         }
+        texture_mode = str(self.cfg.get("tpu", ConfigNode()).get("texture_mode", "baked"))
         if mesh.has_textured_map:
-            out.update(
-                uv=jnp.asarray(mesh.uv),
-                uv_idx=jnp.asarray(mesh.uv_idx),
-                tex=jnp.asarray(mesh.tex),
-            )
+            if texture_mode == "baked" and mesh.corner_colors is not None:
+                # texture pre-baked to per-corner colors (mesh.py) — zero
+                # texture gathers per step on TPU
+                out["corner_colors"] = jnp.asarray(mesh.corner_colors)
+            else:
+                out.update(
+                    uv=jnp.asarray(mesh.uv),
+                    uv_idx=jnp.asarray(mesh.uv_idx),
+                    tex=jnp.asarray(mesh.tex),
+                )
         else:
             out["vtx_color"] = jnp.asarray(mesh.vtx_color)
         return out
 
-    def _make_render_fn(self):
+    def _make_render_fn(self, layout: str = "channels", with_bins: bool = False):
         arrays = self._mesh_arrays()
         proj = jnp.asarray(self.camera.cam_proj, jnp.float32)
         resolution = tuple(self.resolution)
+
+        bins = None
+        impl = self.raster_impl
+        if impl == "auto":
+            impl = "reference" if arrays["pos_idx"].shape[0] <= 256 else "pallas"
+        if with_bins and impl == "pallas":
+            from diffdope_tpu.optimize import pose_matrix
+            from diffdope_tpu.render.pipeline import precompute_bins
+
+            params0 = self.object3d.initial_params(self.batchsize)
+            mtx0, _, _ = jax.jit(pose_matrix)(params0)
+            margin = float(self.cfg.get("tpu", ConfigNode()).get("bin_margin_px", 24.0))
+            bins = jax.jit(
+                lambda m: precompute_bins(
+                    proj, m, arrays["pos"], arrays["pos_idx"], resolution,
+                    self.tile_hw, self.max_tris_per_tile, margin,
+                )
+            )(mtx0)
 
         def render_fn(mtx, tex=None, vtx_color=None):
             kw = dict(arrays)
@@ -207,6 +231,8 @@ class DiffDope:
                 raster_impl=self.raster_impl,
                 tile_hw=self.tile_hw,
                 max_tris_per_tile=self.max_tris_per_tile,
+                layout=layout,
+                bins=bins,
                 **kw,
             )
 
@@ -214,7 +240,7 @@ class DiffDope:
 
     def _render(self, mtx):
         if self._render_jit is None:
-            self._render_jit = jax.jit(self._make_render_fn())
+            self._render_jit = jax.jit(self._make_render_fn(layout="stacked"))
         return self._render_jit(mtx)
 
     # ------------------------------------------------------------------ #
@@ -227,22 +253,24 @@ class DiffDope:
         `mtx_history`, and the lazy `optimization_results`.
         """
         gt = {k: jnp.asarray(v) for k, v in self.gt_tensors.items()}
-        render_fn = self._make_render_fn()
+        use_bins = bool(self.cfg.get("tpu", ConfigNode()).get("precompute_bins", False))
+        render_fn = self._make_render_fn(with_bins=use_bins)
         params0 = self.object3d.initial_params(self.batchsize)
 
-        if self._refine_jit is None:
-            self._refine_jit = jax.jit(
-                partial(
-                    refine,
-                    render_fn=render_fn,
-                    loss_fns=tuple(self.loss_functions),
-                    weights=self.loss_weights,
-                    nb_iterations=self.nb_iterations,
-                    base_lr=self.base_lr,
-                    lr_decay=self.lr_decay,
-                    optimizer=self.optimizer_name,
-                )
+        # rebuilt every run: the render closure bakes in the per-run binning
+        # (XLA's compile cache absorbs unchanged retraces)
+        self._refine_jit = jax.jit(
+            partial(
+                refine,
+                render_fn=render_fn,
+                loss_fns=tuple(self.loss_functions),
+                weights=self.loss_weights,
+                nb_iterations=self.nb_iterations,
+                base_lr=self.base_lr,
+                lr_decay=self.lr_decay,
+                optimizer=self.optimizer_name,
             )
+        )
 
         t0 = time.perf_counter()
         result = self._refine_jit(params0, gt=gt, learning_rates=self.learning_rates)

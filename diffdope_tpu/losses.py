@@ -56,12 +56,33 @@ def dist_batch_lr(tensor: Array, learning_rates: Array, axes: Sequence[int]) -> 
     return jnp.mean(tensor, axis=tuple(axes)) * learning_rates
 
 
+def _image_channels(value, n: int = 3):
+    """Normalize a rendered image to a tuple of (B,H,W) channel planes.
+
+    Accepts the channel-planar layout (tuple of (B,H,W) — the TPU-fast path,
+    see render/pipeline.py layout='channels'), a single shared-channel
+    (B,H,W) array, or stacked (B,H,W,C)."""
+    if isinstance(value, (tuple, list)):
+        return tuple(value)
+    if value.ndim == 3:
+        return (value,) * n
+    return tuple(value[..., c] for c in range(value.shape[-1]))
+
+
 @register_loss("l1_rgb_with_mask")
 def l1_rgb_with_mask(renders, gt, learning_rates, weights):
-    """L1 on rgb inside the gt segmentation (reference diffdope.py:547-562)."""
-    diff = jnp.abs((renders["rgb"] - gt["rgb"]) * gt["segmentation"])
-    lr_diff = dist_batch_lr(diff, learning_rates, (1, 2, 3))
-    log = jnp.mean(diff, axis=(1, 2, 3)) * weights["rgb"]
+    """L1 on rgb inside the gt segmentation (reference diffdope.py:547-562).
+
+    Channel-planar evaluation: mean_c mean_hw |rgb_c - gt_c| * seg_c is
+    identical to the reference's mean over (H, W, C) of the stacked diff."""
+    rgb = _image_channels(renders["rgb"])
+    per_hyp = 0.0
+    for c in range(3):
+        diff = jnp.abs((rgb[c] - gt["rgb"][..., c]) * gt["segmentation"][..., c])
+        per_hyp = per_hyp + jnp.mean(diff, axis=(1, 2))
+    per_hyp = per_hyp / 3.0
+    lr_diff = per_hyp * learning_rates
+    log = per_hyp * weights["rgb"]
     return jnp.mean(lr_diff) * weights["rgb"], ("rgb", log)
 
 
@@ -78,9 +99,14 @@ def l1_depth_with_mask(renders, gt, learning_rates, weights):
 def l1_mask(renders, gt, learning_rates, weights):
     """L1 between the antialiased mask and the gt segmentation
     (reference diffdope.py:583-613)."""
-    diff = jnp.abs(renders["mask"] - gt["segmentation"])
-    lr_diff = dist_batch_lr(diff, learning_rates, (1, 2, 3))
-    log = jnp.mean(diff, axis=(1, 2, 3)) * weights["mask"]
+    mask = _image_channels(renders["mask"])
+    per_hyp = 0.0
+    for c in range(3):
+        diff = jnp.abs(mask[c] - gt["segmentation"][..., c])
+        per_hyp = per_hyp + jnp.mean(diff, axis=(1, 2))
+    per_hyp = per_hyp / 3.0
+    lr_diff = per_hyp * learning_rates
+    log = per_hyp * weights["mask"]
     return jnp.mean(lr_diff) * weights["mask"], ("mask_selection", log)
 
 

@@ -293,7 +293,16 @@ def build_edge_adjacency(faces: np.ndarray) -> np.ndarray:
     (or non-manifold) edges.  Consumed by render.antialias to restrict edge
     blending to true silhouettes (boundary edges and front/back transitions)
     — the role of nvdiffrast's topology hash.
+
+    Uses the C++ kernel (native/meshproc.cpp) when available; numpy/dict
+    fallback otherwise.
     """
+    from diffdope_tpu import native
+
+    native_adj = native.build_edge_adjacency(np.asarray(faces, np.int32))
+    if native_adj is not None:
+        return native_adj
+
     t = len(faces)
     adj = np.full((t, 3), -1, dtype=np.int32)
     edge_map: dict = {}
@@ -312,6 +321,12 @@ def build_edge_adjacency(faces: np.ndarray) -> np.ndarray:
 
 def _compute_vertex_normals(pos: np.ndarray, faces: np.ndarray) -> np.ndarray:
     """Area-weighted vertex normals (trimesh fallback equivalent)."""
+    from diffdope_tpu import native
+
+    out = native.vertex_normals(pos, faces)
+    if out is not None:
+        return out
+
     fn = np.cross(
         pos[faces[:, 1]] - pos[faces[:, 0]],
         pos[faces[:, 2]] - pos[faces[:, 0]],
@@ -349,6 +364,12 @@ class Mesh:
     dimensions: Optional[list] = None
     center_point: Optional[list] = None
     edge_adj: Optional[np.ndarray] = None  # (T,3) silhouette adjacency
+    # (T,3,3) texture baked to per-corner colors (bilinear at corner uvs).
+    # At typical scan-mesh density (a few screen px per triangle) Gouraud
+    # interpolation of these is visually identical to per-pixel texture
+    # sampling, and on TPU it folds into the per-triangle attribute planes
+    # (render/shade.py) — zero texture gathers per step.
+    corner_colors: Optional[np.ndarray] = None
 
     @property
     def has_textured_map(self) -> bool:
@@ -438,6 +459,10 @@ def load_mesh(
 
     adj = build_edge_adjacency(faces)
 
+    corner_colors = None
+    if tex is not None and uv is not None:
+        corner_colors = bake_corner_colors(tex, uv, faces)
+
     mesh = Mesh(
         pos=pad_rows(pos, n_pad),
         pos_idx=pad_rows(faces, t_pad),  # zero-index padding = degenerate tris
@@ -453,12 +478,40 @@ def load_mesh(
         dimensions=dims,
         center_point=center,
         edge_adj=pad_rows(adj, t_pad, fill=-1),
+        corner_colors=pad_rows(corner_colors, t_pad) if corner_colors is not None else None,
     )
     log.info(
         "loaded mesh %s: %d verts (pad %d), %d tris (pad %d), textured=%s",
         path, n, n_pad, t, t_pad, mesh.has_textured_map,
     )
     return mesh
+
+
+def bake_corner_colors(tex: np.ndarray, uv: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Bilinear-sample the texture at each triangle corner's uv -> (T,3,3).
+
+    Host-side, once per mesh.  uv is expected already V-flipped (texture row
+    0 at v=0), matching the load convention above.
+    """
+    th, tw = tex.shape[:2]
+    uv_c = uv[faces]  # (T, 3, 2)
+    fx = uv_c[..., 0] * tw - 0.5
+    fy = uv_c[..., 1] * th - 0.5
+    x0 = np.floor(fx).astype(np.int64)
+    y0 = np.floor(fy).astype(np.int64)
+    ax = (fx - x0)[..., None]
+    ay = (fy - y0)[..., None]
+
+    def tap(ix, iy):
+        return tex[np.remainder(iy, th), np.remainder(ix, tw)]
+
+    c00 = tap(x0, y0)
+    c10 = tap(x0 + 1, y0)
+    c01 = tap(x0, y0 + 1)
+    c11 = tap(x0 + 1, y0 + 1)
+    top = c00 * (1 - ax) + c10 * ax
+    bot = c01 * (1 - ax) + c11 * ax
+    return (top * (1 - ay) + bot * ay).astype(np.float32)
 
 
 def _load_texture(texture_path) -> np.ndarray:

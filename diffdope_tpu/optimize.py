@@ -135,10 +135,18 @@ def refine(
     opt_state = opt.init(all_params)
     extra_keys = tuple(extra_params.keys()) if extra_params else ()
 
+    # Rematerialize the render in the backward pass: the wide per-pixel row
+    # tensors are cheap to recompute (fused Pallas kernel) but expensive to
+    # keep as AD residuals — without remat a B=64 400x400 step needs >24 GB
+    # of HBM, with it a few GB.  (Saving ids/rows by name and rematting the
+    # rest was measured SLOWER — the extra materialization costs more than
+    # the kernel re-run.)
+    render_remat = jax.checkpoint(render_fn)
+
     def loss_fn(params):
         mtx, _, _ = pose_matrix(params)
         extra = {k: params[k] for k in extra_keys}
-        renders = render_fn(mtx, **extra)
+        renders = render_remat(mtx, **extra)
         total = jnp.float32(0.0)
         logs = {}
         for fn in loss_fns:

@@ -44,10 +44,11 @@ _EPS = 1e-12
 def antialias(
     color: Array,
     rast: Array,
-    pos_clip: Array,
+    pos_clip: Array | None,
     tri: Array,
     pos_gradient_boost: float = 1.0,
     edge_adj: Array | None = None,
+    corners_clip: Array | None = None,
 ) -> Array:
     """Antialias `color` along silhouette edges.
 
@@ -71,9 +72,17 @@ def antialias(
     ids = jax.lax.stop_gradient(rast[..., 3]).astype(jnp.int32)
     zw = jax.lax.stop_gradient(rast[..., 2])
 
-    # NDC vertex coordinates (differentiable w.r.t. pos_clip)
-    wc = pos_clip[..., 3]
+    # Corner-expanded NDC coordinates (B, 3T): either straight from the
+    # corner-expanded clip positions (gather-free fast path) or via one
+    # (3T,)-sized gather of the per-vertex positions.
+    if corners_clip is not None:
+        src = corners_clip.reshape(corners_clip.shape[0], -1, 4)  # (B, 3T, 4)
+    else:
+        src = pos_clip[:, tri.reshape(-1)]  # (B, 3T, 4)
+    wc = src[..., 3]
     w_safe = jnp.where(jnp.abs(wc) > _EPS, wc, _EPS)
+    sx = src[..., 0] / w_safe
+    sy = src[..., 1] / w_safe
     if pos_gradient_boost != 1.0:
         boost = pos_gradient_boost
 
@@ -88,11 +97,8 @@ def antialias(
             return (g * boost,)
 
         _boosted.defvjp(_fwd, _bwd)
-        sx = _boosted(pos_clip[..., 0] / w_safe)
-        sy = _boosted(pos_clip[..., 1] / w_safe)
-    else:
-        sx = pos_clip[..., 0] / w_safe
-        sy = pos_clip[..., 1] / w_safe
+        sx = _boosted(sx)
+        sy = _boosted(sy)
 
     # pixel-center NDC coords
     xs = (2.0 * jnp.arange(w, dtype=color.dtype) + 1.0) / w - 1.0
@@ -102,10 +108,8 @@ def antialias(
     # test: an interior edge is a silhouette iff its two faces face
     # opposite ways.  Non-differentiable classification.
     if edge_adj is not None:
-        sxg = jax.lax.stop_gradient(sx)
-        syg = jax.lax.stop_gradient(sy)
-        v = jnp.stack([sxg[:, tri[:, k]] for k in range(3)], axis=-1)  # (B,T,3)
-        u = jnp.stack([syg[:, tri[:, k]] for k in range(3)], axis=-1)
+        v = jax.lax.stop_gradient(sx).reshape(b, -1, 3)  # (B, T, 3)
+        u = jax.lax.stop_gradient(sy).reshape(b, -1, 3)
         area2 = (v[..., 1] - v[..., 0]) * (u[..., 2] - u[..., 0]) - (
             v[..., 2] - v[..., 0]
         ) * (u[..., 1] - u[..., 0])
@@ -156,20 +160,21 @@ def _aa_pairs(
 
     a = first pixel (at `along`), b = second pixel (at `along_next`).
     `across` is the shared coordinate of the segment (Y for horizontal
-    pairs, X for vertical).  Returns (delta_a, delta_b), each (..., C).
+    pairs, X for vertical).  `sx`/`sy` are corner-expanded (B, 3T) NDC
+    coordinates.  Returns (delta_a, delta_b), each (..., C).
     """
     differ = id_a != id_b
     fg_is_a = (id_a > 0) & ((id_b == 0) | (zw_a <= zw_b))
     fg_id = jnp.where(fg_is_a, id_a, id_b)
     active = differ & (fg_id > 0)
 
-    # gather fg triangle's vertex NDC coords: (batch-aware)
+    # gather fg triangle's corner NDC coords (one flat-index gather)
     tri_idx = jnp.maximum(fg_id - 1, 0)
-    corners = tri[tri_idx]  # (..., 3)
     bsz = sx.shape[0]
-    flat = corners.reshape(bsz, -1)
-    vx = jnp.take_along_axis(sx, flat, axis=1).reshape(corners.shape)
-    vy = jnp.take_along_axis(sy, flat, axis=1).reshape(corners.shape)
+    flat = (tri_idx[..., None] * 3 + jnp.arange(3, dtype=tri_idx.dtype)).reshape(bsz, -1)
+    shape3 = tri_idx.shape + (3,)
+    vx = jnp.take_along_axis(sx, flat, axis=1).reshape(shape3)
+    vy = jnp.take_along_axis(sy, flat, axis=1).reshape(shape3)
 
     if horizontal:
         e_along, e_across = vx, vy  # crossing solves for x at fixed y

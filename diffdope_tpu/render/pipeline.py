@@ -6,20 +6,21 @@ Reference: diffdope/diffdope.py:156-234.  Produces {'rgb', 'depth', 'mask',
 * rgb   — textured (bilinear) or vertex-color, background-masked
           (reference diffdope.py:218-231);
 * depth — negated camera-space z (reference diffdope.py:203-209), including
-          the reference's exact background value (-t_z: interpolating the
-          homogeneous positions leaves zeros at background, and the
-          model-view transform then contributes its translation);
+          the reference's exact background value (-t_z);
 * mask  — coverage (3-channel, like interpolating all-ones attributes,
-          reference diffdope.py:212-213) passed through `antialias`, the only
-          coverage->pose gradient path (diffdope.py:214).
+          reference diffdope.py:212-213) passed through antialiasing, the
+          only coverage->pose gradient path (diffdope.py:214).
 
-TPU-native differences from the reference (same math, better mapping):
-* no GL context / no stateful rasterizer — pure jittable function;
-* mesh tensors arrive unbatched and broadcast across hypotheses (the
-  reference stacks every array B times, diffdope.py:864-896);
-* camera-space depth interpolates one channel (rotation-only z) instead of
-  interpolating 4-channel positions then transforming per pixel — linearity
-  of interpolation makes it identical, at 1/4 the bandwidth.
+TPU-native architecture (see render/shade.py):
+
+* object-space vertices are corner-expanded at compile time (gather of
+  constants) and transformed by one MXU matmul — no per-step vertex gather;
+* per-triangle data (barycentric planes, z plane, attribute interpolation
+  planes, silhouette bits) is packed into one 32-lane row; shading any pixel
+  is ONE row gather + FMAs;
+* antialiasing reuses the gathered rows — zero additional gathers;
+* rast_db is skipped unless requested (the reference's texture path uses
+  filter_mode='linear', which ignores derivatives — diffdope.py:225).
 """
 
 from __future__ import annotations
@@ -30,9 +31,20 @@ import jax
 import jax.numpy as jnp
 
 from diffdope_tpu.geometry import xfm_points
-from diffdope_tpu.render.antialias import antialias
-from diffdope_tpu.render.interpolate import interpolate
-from diffdope_tpu.render.rasterize import rasterize
+from diffdope_tpu.render.rasterize import (
+    raster_ids_pallas,
+    raster_ids_reference,
+)
+from diffdope_tpu.render.gather_rows import invert_bins, raster_gather_rows
+from diffdope_tpu.render.setup_tris import bin_triangles, triangle_setup_from_corners
+from diffdope_tpu.render.shade import (
+    antialias_rows,
+    attribute_planes,
+    pack_rows,
+    shade_from_rows,
+    shade_rows,
+    silhouette_bits,
+)
 from diffdope_tpu.render.texture import texture
 
 Array = jax.Array
@@ -54,76 +66,202 @@ def render_batch(
     tile_hw: Tuple[int, int] = (32, 128),
     max_tris_per_tile: int = 1024,
     edge_adj: Optional[Array] = None,
+    corner_colors: Optional[Array] = None,
+    layout: str = "stacked",
+    bins: Optional[Tuple[Array, Array, Array, Array]] = None,
 ) -> Dict[str, Array]:
     """Render a mesh under B pose hypotheses.
 
     Args:
         proj_cam: (4,4) or (B,4,4) OpenGL projection.
         mtx: (B,4,4) object-to-camera (OpenGL frame) poses — differentiable.
-        pos: (N,3) or (B,N,3) object-space vertices.
+        pos: (N,3) object-space vertices (or (B,N,3)).
         pos_idx: (T,3) int32 triangles.
-        resolution: (H, W).
         uv/uv_idx/tex: texture path inputs ((N,2), (T,3), (TH,TW,3)).
         vtx_color: (N,3) vertex colors — used when tex is None.
         return_rast_out: include the raw rasterizer output.
         antialias_rgb: also antialias the color image (the reference only
             antialiases the mask).
         raster_impl/tile_hw/max_tris_per_tile: rasterizer knobs.
+        edge_adj: (T,3) silhouette adjacency (mesh.build_edge_adjacency).
+        layout: 'stacked' (reference-compatible channels-last outputs) or
+            'channels' (channel-planar (B,H,W) arrays — the TPU-fast layout
+            the losses consume; 'rgb' is a tuple of 3, 'mask' single-channel
+            with identical 3 channels implied).
 
     Returns:
-        dict with 'rgb' (B,H,W,3), 'depth' (B,H,W), 'mask' (B,H,W,3),
-        'rast_out' ((B,H,W,4) or None).
+        layout='stacked': dict with 'rgb' (B,H,W,3), 'depth' (B,H,W),
+        'mask' (B,H,W,3), 'rast_out' ((B,H,W,4) or None).
     """
     if mtx.ndim == 2:
         mtx = mtx[None]
     b = mtx.shape[0]
     if proj_cam.ndim == 2:
         proj_cam = proj_cam[None]
+
+    mvp = jnp.einsum("...ij,...jk->...ik", proj_cam, mtx, precision="highest")
+
+    t_count = pos_idx.shape[0]
+    flat_idx = pos_idx.reshape(-1)
+
+    # corner expansion of object-space constants (compile-time folded)
     if pos.ndim == 2:
-        pos = jnp.broadcast_to(pos[None], (b,) + pos.shape)
-
-    mvp = jnp.einsum(
-        "...ij,...jk->...ik", proj_cam, mtx, precision="highest"
-    )
-    pos_clip = xfm_points(pos, mvp)  # (B, N, 4)
-
-    rast, rast_db = rasterize(
-        pos_clip,
-        pos_idx,
-        resolution,
-        impl=raster_impl,
-        tile_hw=tile_hw,
-        max_tris_per_tile=max_tris_per_tile,
-    )
-
-    # ---- depth: -(camera z) with the reference's background offset
-    rot_z = jnp.einsum(
-        "...j,...nj->...n", mtx[..., 2, :3], pos, precision="highest"
-    )[..., None]  # (B,N,1) rotation-only camera z per vertex
-    z_interp, _ = interpolate(rot_z, rast, pos_idx)
-    depth = -(z_interp[..., 0] + mtx[..., 2, 3][..., None, None])
-
-    # ---- mask: coverage (3ch) + analytic antialiasing (coverage gradients)
-    coverage = jnp.clip(rast[..., 3:4], 0.0, 1.0)
-    mask = jnp.broadcast_to(coverage, coverage.shape[:-1] + (3,))
-    mask = antialias(mask, rast, pos_clip, pos_idx, edge_adj=edge_adj)
-
-    # ---- color
-    if vtx_color is None:
-        if uv is None or uv_idx is None or tex is None:
-            raise ValueError("textured render requires uv, uv_idx and tex")
-        texc, texd = interpolate(uv, rast, uv_idx, rast_db, diff_attrs="all")
-        color = texture(tex, texc, texd, filter_mode="linear")
-        color = color * jnp.clip(rast[..., 3:4], 0.0, 1.0)
+        pos_c = pos[flat_idx][None]  # (1, 3T, 3)
     else:
-        color, _ = interpolate(vtx_color, rast, pos_idx)
-        color = color * jnp.clip(rast[..., 3:4], 0.0, 1.0)
-    if antialias_rgb:
-        color = antialias(color, rast, pos_clip, pos_idx, edge_adj=edge_adj)
+        pos_c = jnp.take(pos, flat_idx, axis=1)
+    corners_clip = xfm_points(pos_c, mvp).reshape(b, t_count, 3, 4)
 
+    setup = triangle_setup_from_corners(corners_clip)
+
+    # ---- attribute planes
+    # rotation-only camera z per corner (for depth; reference semantics
+    # including the -t_z background, diffdope.py:203-209)
+    zrot_c = jnp.einsum(
+        "...j,...nj->...n", mtx[..., 2, :3], pos_c, precision="highest"
+    ).reshape(b, t_count, 3, 1)
+
+    color_mode = None
+    if corner_colors is not None:
+        # baked texture (or any per-corner colors): Gouraud via planes
+        corner_vals = jnp.concatenate(
+            [jnp.broadcast_to(corner_colors[None], (b, t_count, 3, 3)), zrot_c],
+            axis=-1,
+        )
+        n_attr = 4  # r, g, b, zrot
+        color_mode = "planes"
+    elif tex is not None:
+        if uv is None or uv_idx is None:
+            raise ValueError("textured render requires uv and uv_idx")
+        uv_c = uv[uv_idx.reshape(-1)].reshape(t_count, 3, 2)
+        corner_vals = jnp.concatenate(
+            [jnp.broadcast_to(uv_c[None], (b, t_count, 3, 2)), zrot_c], axis=-1
+        )
+        n_attr = 3  # u, v, zrot
+        color_mode = "texture"
+    elif vtx_color is not None:
+        col_c = vtx_color[flat_idx].reshape(t_count, 3, 3)
+        corner_vals = jnp.concatenate(
+            [jnp.broadcast_to(col_c[None], (b, t_count, 3, 3)), zrot_c], axis=-1
+        )
+        n_attr = 4  # r, g, b, zrot
+        color_mode = "planes"
+    else:
+        raise ValueError("render requires corner_colors, tex(+uv), or vtx_color")
+
+    planes = attribute_planes(corner_vals, setup)
+    packed = pack_rows(setup, silhouette_bits(setup.det, edge_adj), planes)
+
+    # ---- triangle-id search + row gather
+    impl = raster_impl
+    if impl == "auto":
+        impl = "reference" if t_count <= 256 else "pallas"
+    if impl == "reference":
+        ids = jax.lax.stop_gradient(raster_ids_reference(setup.coef, resolution))
+        sh = shade_rows(
+            ids, packed, resolution, attr_channels=n_attr,
+            stack_outputs=return_rast_out,
+        )
+    elif impl == "pallas":
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        if bins is not None:
+            # precomputed binning (precompute_bins): one conservative pass
+            # with a pixel margin serves the whole refinement
+            idx, counts, inv_pos, inv_valid = bins
+        else:
+            idx, counts, _ = bin_triangles(
+                jax.lax.stop_gradient(corners_clip), setup.det,
+                resolution, tile_hw, max_tris_per_tile,
+            )
+            inv_pos, inv_valid = invert_bins(idx, t_count)
+        ids, rows = raster_gather_rows(
+            packed, idx, counts, inv_pos, inv_valid,
+            tuple(resolution), tuple(tile_hw), interpret,
+        )
+        sh = shade_from_rows(
+            ids, rows, resolution, attr_channels=n_attr,
+            stack_outputs=return_rast_out,
+        )
+    else:
+        raise ValueError(f"unknown raster_impl {impl!r}")
+
+    # everything below is channel-planar (B, H, W) — channels-last temps pay
+    # a 42x lane-padding penalty on TPU
+    fg = (ids > 0).astype(packed.dtype)
+
+    # ---- mask with analytic antialiasing (coverage gradients)
+    mask1 = antialias_rows(fg, ids, sh["zw"], sh["rows"], resolution)
+
+    # ---- color channels
+    if color_mode == "texture":
+        texc = jnp.stack([sh["attrs_list"][0], sh["attrs_list"][1]], axis=-1)
+        color_img = texture(tex, texc, filter_mode="linear")
+        colors = tuple(color_img[..., c] * fg for c in range(3))
+    else:
+        colors = tuple(sh["attrs_list"][c] for c in range(3))
+    if antialias_rgb:
+        colors = tuple(
+            antialias_rows(c, ids, sh["zw"], sh["rows"], resolution) for c in colors
+        )
+
+    # ---- depth (rotation-z plane + translation; bg = -t_z exactly)
+    depth = -(sh["attrs_list"][n_attr - 1] + mtx[..., 2, 3][..., None, None])
+
+    if layout == "channels":
+        return {
+            "mask": mask1,            # (B, H, W) — identical 3 channels implied
+            "rgb": colors,            # tuple of 3 (B, H, W)
+            "depth": depth,           # (B, H, W)
+            "ids": ids,
+            "rast_out": sh["rast"] if return_rast_out else None,
+        }
+
+    rgb = jnp.stack(colors, axis=-1)
+    mask = jnp.repeat(mask1[..., None], 3, axis=-1)
     return {
-        "rgb": color,
+        "rgb": rgb,
         "depth": depth,
         "mask": mask,
-        "rast_out": rast if return_rast_out else None,
+        "rast_out": sh["rast"] if return_rast_out else None,
     }
+
+
+def precompute_bins(
+    proj_cam: Array,
+    mtx0: Array,
+    pos: Array,
+    pos_idx: Array,
+    resolution: Tuple[int, int],
+    tile_hw: Tuple[int, int] = (32, 128),
+    max_tris_per_tile: int = 1024,
+    margin_px: float = 24.0,
+):
+    """One conservative binning (with pixel margin) for a whole refinement.
+
+    The binning only has to be a *superset* of each triangle's touched
+    tiles — the rasterizer re-tests coverage exactly — so binning once at
+    the initial poses with a margin that covers the expected pose drift
+    replaces per-step re-binning (~15 ms/step at bench scale).  Increase
+    `margin_px` (or re-bin) for refinements expected to move further.
+
+    Returns (tile_idx, tile_counts, inv_pos, inv_valid) for
+    render_batch(bins=...).
+    """
+    if mtx0.ndim == 2:
+        mtx0 = mtx0[None]
+    b = mtx0.shape[0]
+    if proj_cam.ndim == 2:
+        proj_cam = proj_cam[None]
+    mvp = jnp.einsum("...ij,...jk->...ik", proj_cam, mtx0, precision="highest")
+    t_count = pos_idx.shape[0]
+    if pos.ndim == 2:
+        pos_c = pos[pos_idx.reshape(-1)][None]
+    else:
+        pos_c = jnp.take(pos, pos_idx.reshape(-1), axis=1)
+    corners = xfm_points(pos_c, mvp).reshape(b, t_count, 3, 4)
+    setup = triangle_setup_from_corners(corners)
+    idx, counts, _ = bin_triangles(
+        jax.lax.stop_gradient(corners), setup.det,
+        resolution, tile_hw, max_tris_per_tile, margin_px=margin_px,
+    )
+    inv_pos, inv_valid = invert_bins(idx, t_count)
+    return idx, counts, inv_pos, inv_valid

@@ -41,6 +41,7 @@ from diffdope_tpu.render.setup_tris import (
     bin_triangles,
     pixel_ndc,
     triangle_setup,
+    triangle_setup_from_corners,
 )
 
 Array = jax.Array
@@ -283,7 +284,7 @@ def rast_from_ids(
 # ---------------------------------------------------------------------------
 
 def rasterize(
-    pos_clip: Array,
+    pos_clip: Optional[Array],
     tri: Array,
     resolution: Tuple[int, int],
     *,
@@ -292,11 +293,13 @@ def rasterize(
     max_tris_per_tile: int = 1024,
     with_db: bool = True,
     interpret: Optional[bool] = None,
+    corners_clip: Optional[Array] = None,
 ) -> Tuple[Array, Optional[Array]]:
     """nvdiffrast-compatible rasterization (no GL context needed — pure fn).
 
     Args:
         pos_clip: (B, N, 4) float32 clip-space positions (differentiable).
+            May be None when `corners_clip` is given.
         tri: (T, 3) int32 triangle indices.
         resolution: (H, W) output size.
         impl: 'pallas' | 'reference' | 'auto' (pallas unless the scene is
@@ -304,11 +307,18 @@ def rasterize(
         tile_hw / max_tris_per_tile: Pallas binning configuration.
         with_db: return rast_db (bary pixel derivatives) as second output.
         interpret: force Pallas interpreter mode; defaults to True off-TPU.
+        corners_clip: optional (B, T, 3, 4) corner-expanded clip positions.
+            The TPU-fast path: when the expansion is applied to object-space
+            constants before the clip transform (pipeline.render_batch), no
+            per-step vertex gather exists at all.
 
     Returns:
         (rast, rast_db): (B,H,W,4) each; rast_db is None if with_db=False.
     """
-    setup = triangle_setup(pos_clip, tri)
+    if corners_clip is not None:
+        setup = triangle_setup_from_corners(corners_clip)
+    else:
+        setup = triangle_setup(pos_clip, tri)
     t_count = tri.shape[0]
     if impl == "auto":
         impl = "reference" if t_count <= 256 else "pallas"
@@ -318,8 +328,12 @@ def rasterize(
     elif impl == "pallas":
         if interpret is None:
             interpret = jax.default_backend() not in ("tpu", "axon")
+        if corners_clip is not None:
+            corners_ng = corners_clip
+        else:
+            corners_ng = jax.lax.stop_gradient(pos_clip)[:, tri]
         idx, counts, _overflow = bin_triangles(
-            pos_clip, tri, setup.det, resolution, tile_hw, max_tris_per_tile
+            corners_ng, setup.det, resolution, tile_hw, max_tris_per_tile
         )
         ids = raster_ids_pallas(
             setup.coef, idx, counts, resolution, tile_hw, interpret=interpret

@@ -71,7 +71,7 @@ class TriangleSetup(NamedTuple):
 
 
 def triangle_setup(pos_clip: Array, tri: Array) -> TriangleSetup:
-    """Compute packed per-triangle coefficients.
+    """Compute packed per-triangle coefficients from indexed vertices.
 
     Args:
         pos_clip: (B, N, 4) float32 clip-space vertex positions.
@@ -79,8 +79,37 @@ def triangle_setup(pos_clip: Array, tri: Array) -> TriangleSetup:
 
     Returns:
         TriangleSetup with coef (B, T, 16).
+
+    Note: this entry performs a (T,3)-indexed gather of *traced* data, which
+    is slow to compile and run on TPU.  The production pipeline avoids it by
+    corner-expanding object-space vertices at compile time and transforming
+    the expansion (a matmul) — see :func:`triangle_setup_from_corners` and
+    pipeline.render_batch.
     """
-    v = pos_clip[:, tri]  # (B, T, 3, 4)
+    corners = pos_clip[:, tri]  # (B, T, 3, 4)
+    degenerate = (
+        (tri[..., 0] == tri[..., 1])
+        | (tri[..., 1] == tri[..., 2])
+        | (tri[..., 2] == tri[..., 0])
+    )
+    return triangle_setup_from_corners(corners, degenerate)
+
+
+def triangle_setup_from_corners(
+    corners: Array, degenerate: Optional[Array] = None
+) -> TriangleSetup:
+    """Packed coefficients from corner-expanded clip positions (B, T, 3, 4).
+
+    Gather-free: on TPU the corner expansion of the *object-space* vertices
+    is a compile-time constant, so the per-step cost is just the transform
+    matmul plus these cross products.
+
+    Args:
+        corners: (B, T, 3, 4) per-corner clip positions.
+        degenerate: optional (T,) bool marking degenerate (padding)
+            triangles; they are exactly rejected (zeroed coefficients).
+    """
+    v = corners
     a = v[..., jnp.array([0, 1, 3])]  # (B, T, 3, 3): (x, y, w) per corner
     z = v[..., 2]  # (B, T, 3)
 
@@ -96,15 +125,19 @@ def triangle_setup(pos_clip: Array, tri: Array) -> TriangleSetup:
     # their cross products vanish, but XLA's FMA contraction leaves ~1e-7
     # residues whose identical coefficient rows pass the same-sign coverage
     # test along a whole half-plane (renders as a stray line).  Zero them.
-    degenerate = (
-        (tri[..., 0] == tri[..., 1])
-        | (tri[..., 1] == tri[..., 2])
-        | (tri[..., 2] == tri[..., 0])
-    )
-    keep = ~degenerate  # (T,)
+    if degenerate is None:
+        # detect duplicated corners positionally (works for padding rows,
+        # whose three corners are bit-identical)
+        degenerate = (
+            jnp.all(v[..., 0, :] == v[..., 1, :], axis=-1)
+            | jnp.all(v[..., 1, :] == v[..., 2, :], axis=-1)
+            | jnp.all(v[..., 2, :] == v[..., 0, :], axis=-1)
+        )
+    keep = ~degenerate  # (T,) or (B, T)
     keepf = keep.astype(det.dtype)[..., None]
+    keepf = jnp.broadcast_to(keepf, det.shape + (1,))
     c0, c1, c2, zc = c0 * keepf, c1 * keepf, c2 * keepf, zc * keepf
-    det = jnp.where(keep, det, 0.0)
+    det = jnp.where(jnp.broadcast_to(keep, det.shape), det, 0.0)
 
     pad = jnp.zeros(det.shape + (3,), det.dtype)
     coef = jnp.concatenate([c0, c1, c2, zc, det[..., None], pad], axis=-1)
@@ -125,12 +158,12 @@ def pixel_ndc(resolution: Tuple[int, int], dtype=jnp.float32) -> Tuple[Array, Ar
 
 
 def bin_triangles(
-    pos_clip: Array,
-    tri: Array,
+    corners: Array,
     det: Array,
     resolution: Tuple[int, int],
     tile_hw: Tuple[int, int],
     max_tris_per_tile: int,
+    margin_px: float = 0.0,
 ) -> Tuple[Array, Array, Array]:
     """Conservative screen-tile binning, shared across the hypothesis batch.
 
@@ -141,12 +174,15 @@ def bin_triangles(
     one shared index list so the per-tile setup gather broadcasts over B.
 
     Args:
-        pos_clip: (B, N, 4) clip positions (only used for bboxes; no grads).
-        tri: (T, 3) int32.
+        corners: (B, T, 3, 4) corner-expanded clip positions (bboxes only;
+            no grads).
         det: (B, T) triangle determinants (0 = degenerate).
         resolution: (H, W) in pixels.
         tile_hw: (th, tw) tile size in pixels.
         max_tris_per_tile: K — lists are truncated to this many triangles.
+        margin_px: expand every bbox by this many pixels.  Lets one binning
+            serve a whole refinement (poses drift only a few px per run) —
+            re-binning per optimization step costs ~15ms at bench scale.
 
     Returns:
         idx: (num_tiles, K) int32 triangle indices (row-major tile order),
@@ -159,7 +195,7 @@ def bin_triangles(
     nty = -(-h // th)
     ntx = -(-w // tw)
 
-    v = jax.lax.stop_gradient(pos_clip)[:, tri]  # (B, T, 3, 4)
+    v = jax.lax.stop_gradient(corners)  # (B, T, 3, 4)
     x, y, wc = v[..., 0], v[..., 1], v[..., 3]
     eps = 1e-9
     safe_w = jnp.where(jnp.abs(wc) > eps, wc, eps)
@@ -178,10 +214,10 @@ def bin_triangles(
     # pixel-space bbox, union over batch
     px = (sx + 1.0) * (w / 2.0) - 0.5
     py = (sy + 1.0) * (h / 2.0) - 0.5
-    px_min = jnp.min(jnp.min(px, axis=-1), axis=0)  # (T,)
-    px_max = jnp.max(jnp.max(px, axis=-1), axis=0)
-    py_min = jnp.min(jnp.min(py, axis=-1), axis=0)
-    py_max = jnp.max(jnp.max(py, axis=-1), axis=0)
+    px_min = jnp.min(jnp.min(px, axis=-1), axis=0) - margin_px  # (T,)
+    px_max = jnp.max(jnp.max(px, axis=-1), axis=0) + margin_px
+    py_min = jnp.min(jnp.min(py, axis=-1), axis=0) - margin_px
+    py_max = jnp.max(jnp.max(py, axis=-1), axis=0) + margin_px
 
     tx_min = jnp.clip(jnp.floor(px_min / tw), 0, ntx - 1).astype(jnp.int32)
     tx_max = jnp.clip(jnp.floor(px_max / tw), 0, ntx - 1).astype(jnp.int32)
@@ -197,7 +233,7 @@ def bin_triangles(
     ty_max = jnp.where(behind, nty - 1, ty_max)
     keep = valid & (onscreen | behind)
 
-    t_count = tri.shape[0]
+    t_count = corners.shape[1]
     num_tiles = nty * ntx
     tiles_y = jnp.arange(nty, dtype=jnp.int32)
     tiles_x = jnp.arange(ntx, dtype=jnp.int32)

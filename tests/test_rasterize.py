@@ -166,7 +166,7 @@ class TestPallasEquivalence:
         pos, tri = _random_scene(rng)
         setup = triangle_setup(pos, tri)
         ids_ref = raster_ids_reference(setup.coef, res)
-        idx, counts, overflow = bin_triangles(pos, tri, setup.det, res, tile, 64)
+        idx, counts, overflow = bin_triangles(pos[:, tri], setup.det, res, tile, 64)
         assert int(overflow) == 0
         ids_pal = raster_ids_pallas(setup.coef, idx, counts, res, tile, interpret=True)
         np.testing.assert_array_equal(np.asarray(ids_ref), np.asarray(ids_pal))
@@ -177,7 +177,7 @@ class TestPallasEquivalence:
         pos2 = jnp.concatenate([pos, pos + jnp.asarray([0.3, 0, 0, 0])], axis=0)
         res, tile = (32, 128), (8, 128)
         setup = triangle_setup(pos2, tri)
-        idx, counts, _ = bin_triangles(pos2, tri, setup.det, res, tile, 64)
+        idx, counts, _ = bin_triangles(pos2[:, tri], setup.det, res, tile, 64)
         ids = raster_ids_pallas(setup.coef, idx, counts, res, tile, interpret=True)
         ids_ref = raster_ids_reference(setup.coef, res)
         np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_ref))
