@@ -65,7 +65,7 @@ def build_problem():
 
     import os
     tile_h = int(os.environ.get("DD_TILE_H", "32"))
-    max_k = int(os.environ.get("DD_MAX_K", "1024"))
+    max_k = int(os.environ.get("DD_MAX_K", "2048"))
 
     def render_fn(mtx, layout="channels"):
         return render_batch(
@@ -79,7 +79,7 @@ def build_problem():
 
     rng = np.random.default_rng(0)
     q_gt = geo.quat_from_axis_angle(np.array([0.2, 1.0, 0.1]), 0.8)
-    t_gt = np.array([0.0, 0.0, -7.0])
+    t_gt = np.array([0.0, 0.0, -2.0])  # object ~200px diameter at 400x400
 
     # everything on-device must be jitted: under the axon backend each
     # *distinct* eager primitive triggers a remote compile (~0.5s each)
@@ -93,10 +93,27 @@ def build_problem():
     gt = make_gt(jnp.asarray(q_gt, jnp.float32), jnp.asarray(t_gt, jnp.float32))
     jax.block_until_ready(gt["rgb"])
     log(f"gt render (compile+run): {time.perf_counter() - t0:.2f}s")
+    log(f"gt mask px: {float(np.asarray(gt['segmentation'][...,0]).sum()):.0f}")
+
+    # one-time overflow check: dropped (tile, tri) pairs mean degraded renders
+    from diffdope_tpu.render.planar import bin_triangles_planar, corner_planes, packed_planar
+
+    @jax.jit
+    def _ovf(q, t):
+        mtx_gt, _, _ = pose_matrix(pose_params(q, t, 1))
+        mvp = jnp.einsum("ij,bjk->bik", proj, mtx_gt, precision="highest")
+        pc = pos[tri.reshape(-1)][None]
+        cp = corner_planes(pc[0], mvp)
+        _, det = packed_planar(cp, None, None, None)
+        _, counts, ov = bin_triangles_planar(cp, det, RES, (tile_h, 128), max_k)
+        return ov, counts.max()
+
+    ov, cmax = _ovf(jnp.asarray(q_gt, jnp.float32), jnp.asarray(t_gt, jnp.float32))
+    log(f"bin overflow: {int(ov)} (max tile count {int(cmax)} / K={max_k})")
 
     dq = geo.quat_from_axis_angle(rng.normal(size=3), np.deg2rad(8.0))
     q0 = np.asarray(geo.quat_multiply(jnp.asarray(dq), jnp.asarray(q_gt)))
-    t0 = t_gt + np.array([0.05, -0.04, 0.1])
+    t0 = t_gt + np.array([0.02, -0.015, 0.04])
     params0 = pose_params(q0.astype(np.float32), t0.astype(np.float32), BATCH)
 
     return render_fn, gt, params0
@@ -106,7 +123,9 @@ def main():
     import jax
 
     from diffdope_tpu.losses import select_losses
-    from diffdope_tpu.optimize import draw_learning_rates, refine
+    import functools
+
+    from diffdope_tpu.optimize import draw_learning_rates, refine, refine_segmented
 
     log(f"devices: {jax.devices()}")
     render_fn, gt, params0 = build_problem()
@@ -115,12 +134,20 @@ def main():
     )
     lrs = draw_learning_rates(jax.random.PRNGKey(0), BATCH, (0.5, 4.0))
 
-    run = jax.jit(
-        lambda p: refine(
-            p, render_fn, loss_fns, gt, lrs, weights,
-            nb_iterations=STEPS - 1, base_lr=0.02, lr_decay=0.1, optimizer="adam",
-        )
+    jit_refine = jax.jit(
+        functools.partial(
+            refine, render_fn=render_fn, loss_fns=tuple(loss_fns),
+            weights=weights, nb_iterations=STEPS - 1,
+            base_lr=0.02, lr_decay=0.1, optimizer="adam",
+        ),
+        static_argnames=("num_steps",),
     )
+
+    def run(p):
+        return refine_segmented(
+            p, render_fn, loss_fns, gt, lrs, weights,
+            nb_iterations=STEPS - 1, segment_steps=40, jit_refine=jit_refine,
+        )
 
     # compile + warm up
     t0 = time.perf_counter()

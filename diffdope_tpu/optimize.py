@@ -43,6 +43,7 @@ class RefineResult(NamedTuple):
     mtx_history: Array                # (steps, B, 4, 4) pose per step (pre-update)
     losses_values: Dict[str, Array]   # per-term logs, each (steps, B)
     total_loss: Array                 # (steps,)
+    opt_state: Any = None             # optax state (for segmented runs)
 
 
 def pose_params(quat, trans, batchsize: int) -> Dict[str, Array]:
@@ -108,6 +109,8 @@ def refine(
     lr_decay: float = 0.1,
     optimizer: str = "sgd",
     extra_params: Optional[Dict[str, Array]] = None,
+    opt_state: Any = None,
+    num_steps: Optional[int] = None,
 ) -> RefineResult:
     """Run the full refinement as one scan.  Jit-compatible; call under jit.
 
@@ -124,6 +127,11 @@ def refine(
         extra_params: additional optimized leaves (e.g. texture for
             appearance refinement, reference Mesh.enable_gradients_texture
             diffdope.py:909-920); passed to render_fn as kwargs.
+        opt_state: resume from a previous segment's optimizer state (the LR
+            schedule continues from its step count).
+        num_steps: run exactly this many steps instead of nb_iterations+1
+            (for segmented execution; nb_iterations still shapes the LR
+            schedule).
 
     Returns:
         RefineResult with per-step pose history and loss logs.
@@ -132,21 +140,19 @@ def refine(
     all_params = dict(params0)
     if extra_params:
         all_params.update(extra_params)
-    opt_state = opt.init(all_params)
+    if opt_state is None:
+        opt_state = opt.init(all_params)
     extra_keys = tuple(extra_params.keys()) if extra_params else ()
+    length = (nb_iterations + 1) if num_steps is None else num_steps
 
-    # Rematerialize the render in the backward pass: the wide per-pixel row
-    # tensors are cheap to recompute (fused Pallas kernel) but expensive to
-    # keep as AD residuals — without remat a B=64 400x400 step needs >24 GB
-    # of HBM, with it a few GB.  (Saving ids/rows by name and rematting the
-    # rest was measured SLOWER — the extra materialization costs more than
-    # the kernel re-run.)
-    render_remat = jax.checkpoint(render_fn)
+    # The post-kernel shading is rematerialized inside render_batch itself
+    # (pipeline.py): its AD residuals are the memory hogs, while the raster
+    # kernel must NOT be re-run in the backward.
 
     def loss_fn(params):
         mtx, _, _ = pose_matrix(params)
         extra = {k: params[k] for k in extra_keys}
-        renders = render_remat(mtx, **extra)
+        renders = render_fn(mtx, **extra)
         total = jnp.float32(0.0)
         logs = {}
         for fn in loss_fns:
@@ -164,14 +170,79 @@ def refine(
         params = optax.apply_updates(params, updates)
         return (params, opt_state), {"logs": logs, "mtx": mtx, "total": total}
 
-    (final_params, _), ys = jax.lax.scan(
-        step, (all_params, opt_state), None, length=nb_iterations + 1
+    (final_params, final_opt_state), ys = jax.lax.scan(
+        step, (all_params, opt_state), None, length=length
     )
     return RefineResult(
         params=final_params,
         mtx_history=ys["mtx"],
         losses_values=ys["logs"],
         total_loss=ys["total"],
+        opt_state=final_opt_state,
+    )
+
+
+def refine_segmented(
+    params0: Dict[str, Array],
+    render_fn,
+    loss_fns,
+    gt,
+    learning_rates,
+    weights,
+    nb_iterations: int = 60,
+    segment_steps: int = 40,
+    jit_refine=None,
+    **refine_kwargs,
+) -> RefineResult:
+    """Run the refinement as several jitted scan segments.
+
+    A single device program has a bounded execution time in some
+    environments (the axon tunnel kills executions past ~60s), and chunking
+    also bounds peak history memory.  Optimizer state and the LR-schedule
+    step count carry across segments, so the result is numerically identical
+    to one long scan.  Host-side cost: one dispatch per segment.
+    """
+    import numpy as np
+
+    total = nb_iterations + 1
+    if jit_refine is None:
+        jit_refine = jax.jit(
+            functools.partial(
+                refine,
+                render_fn=render_fn,
+                loss_fns=tuple(loss_fns),
+                weights=weights,
+                nb_iterations=nb_iterations,
+                **refine_kwargs,
+            ),
+            static_argnames=("num_steps",),
+        )
+
+    params = params0
+    opt_state = None
+    mtx_chunks, total_chunks = [], []
+    logs_chunks: Dict[str, list] = {}
+    done = 0
+    while done < total:
+        n = min(segment_steps, total - done)
+        res = jit_refine(
+            params, gt=gt, learning_rates=learning_rates,
+            opt_state=opt_state, num_steps=n,
+        )
+        jax.block_until_ready(res.mtx_history)
+        params, opt_state = res.params, res.opt_state
+        mtx_chunks.append(res.mtx_history)
+        total_chunks.append(res.total_loss)
+        for k, v in res.losses_values.items():
+            logs_chunks.setdefault(k, []).append(v)
+        done += n
+
+    return RefineResult(
+        params=params,
+        mtx_history=jnp.concatenate(mtx_chunks, axis=0),
+        losses_values={k: jnp.concatenate(v, axis=0) for k, v in logs_chunks.items()},
+        total_loss=jnp.concatenate(total_chunks, axis=0),
+        opt_state=opt_state,
     )
 
 

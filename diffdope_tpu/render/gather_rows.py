@@ -39,12 +39,12 @@ from diffdope_tpu.render.shade import PACKED_WIDTH
 Array = jax.Array
 
 
-def invert_bins(tile_idx: Array, t_count: int, max_occ: int = 32):
+def invert_bins(tile_idx: Array, t_count: int, max_occ: int = 16):
     """Invert the (num_tiles, K) bin lists into per-triangle occurrence lists.
 
     Returns (inv_pos (T, M) int32 flat positions into (num_tiles*K),
     inv_valid (T, M) bool).  Occurrences beyond M are dropped (a triangle
-    overlapping more than M tiles loses those gradient contributions; M=32
+    overlapping more than M tiles loses those gradient contributions; M=16
     covers any reasonably tessellated object — pathological cases should
     raise max_occ).
     """
@@ -120,7 +120,10 @@ def _fwd_kernel(counts_ref, rows_ref, ids_ref, out_ref, *, th, tw, ntx, h, w, k_
             base = ci * k_chunk
             chunk = rows_ref[0, 0, pl.ds(base, k_chunk), :]  # (kc, 32)
             tri_ids = chunk[:, 13:14].astype(jnp.int32) + 1  # (kc, 1)
-            onehot = (tri_ids == ids_row).astype(jnp.float32)  # (kc, tw)
+            # mask bin slots beyond the tile's count (sentinel rows) here
+            # instead of poisoning lane 13 host-side (a 436MB update-slice)
+            slot = jax.lax.broadcasted_iota(jnp.int32, (k_chunk, 1), 0) + base
+            onehot = ((tri_ids == ids_row) & (slot < count)).astype(jnp.float32)
             return acc + jax.lax.dot_general(
                 chunk, onehot, dn, preferred_element_type=jnp.float32
             )  # (32, tw)
@@ -134,7 +137,7 @@ def _fwd_kernel(counts_ref, rows_ref, ids_ref, out_ref, *, th, tw, ntx, h, w, k_
     jax.lax.fori_loop(0, th, row_body, 0)
 
 
-def _bwd_kernel(ids_ref, tidx_ref, drows_ref, out_ref, *, th, tw, k_chunk):
+def _bwd_kernel(counts_ref, ids_ref, tidx_ref, drows_ref, out_ref, *, th, tw, k_chunk):
     """d_bin_rows (K, 32) = onehot^T (K, px) @ d_rows_tile (px, 32).
 
     ids_ref:   VMEM (1, th, tw) int32 winning ids (+1).
@@ -143,16 +146,25 @@ def _bwd_kernel(ids_ref, tidx_ref, drows_ref, out_ref, *, th, tw, k_chunk):
     out_ref:   VMEM (1, 1, K, 32) per-tile row gradients.
     """
     k_max = tidx_ref.shape[2]
+    count = counts_ref[pl.program_id(1)]
     dn = (((1,), (1,)), ((), ()))  # contract the tw (pixel) dim
+    n_chunks = k_max // k_chunk
+    # like the forward: only walk chunks that can hold valid bin entries
+    # (the d_bin output must still be zeroed everywhere first)
+    used = jnp.minimum((count + k_chunk - 1) // k_chunk, n_chunks)
+
+    out_ref[0, 0] = jnp.zeros((k_max, PACKED_WIDTH), jnp.float32)
 
     def chunk_body(ci, _):
         base = ci * k_chunk
         chunk = tidx_ref[0, 0, pl.ds(base, k_chunk), :]  # (kc, 32)
         tri_ids = chunk[:, 13:14].astype(jnp.int32) + 1  # (kc, 1)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (k_chunk, 1), 0) + base
+        slot_ok = slot < count
 
         def row_body(r, acc):
             ids_row = ids_ref[0, pl.ds(r, 1), :]  # (1, tw)
-            onehot = (tri_ids == ids_row).astype(jnp.float32)  # (kc, tw)
+            onehot = ((tri_ids == ids_row) & slot_ok).astype(jnp.float32)  # (kc, tw)
             d_row = drows_ref[0, :, r, :]  # (32, tw)
             return acc + jax.lax.dot_general(
                 onehot, d_row, dn, preferred_element_type=jnp.float32
@@ -164,7 +176,7 @@ def _bwd_kernel(ids_ref, tidx_ref, drows_ref, out_ref, *, th, tw, k_chunk):
         out_ref[0, 0, pl.ds(base, k_chunk), :] = acc
         return 0
 
-    jax.lax.fori_loop(0, k_max // k_chunk, chunk_body, 0)
+    jax.lax.fori_loop(0, used, chunk_body, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -215,16 +227,13 @@ def _fwd_impl(packed, tile_idx, tile_counts, resolution, tile_hw, interpret):
     th, tw = tile_hw
     nty, ntx = -(-h // th), -(-w // tw)
     num_tiles, k = tile_idx.shape
-    k_chunk = min(256, k)
+    k_chunk = min(128, k)
     assert k % k_chunk == 0
 
     safe_idx = jnp.minimum(tile_idx, t_count - 1)
     bin_rows = packed[:, safe_idx]  # (B, num_tiles, K, 32)
-    # sentinel rows must never win nor match the one-hot: poison lane 13
-    sentinel = (tile_idx >= t_count)[None, :, :]
-    bin_rows = bin_rows.at[..., 13].set(
-        jnp.where(sentinel, -2.0, bin_rows[..., 13])
-    )
+    # (slots beyond each tile's count — including sentinel rows — are
+    # masked inside the kernels by slot index; no host-side poisoning)
 
     kernel = functools.partial(
         _fwd_kernel, th=th, tw=tw, ntx=ntx, h=h, w=w, k_chunk=k_chunk
@@ -269,19 +278,19 @@ def _vjp_fwd(packed, tile_idx, tile_counts, inv_pos, inv_valid,
     ids, rows = _fwd_impl(
         packed, tile_idx, tile_counts, resolution, tile_hw, interpret
     )
-    res = (packed, tile_idx, ids, inv_pos, inv_valid)
+    res = (packed, tile_idx, tile_counts, ids, inv_pos, inv_valid)
     return (ids, rows), res
 
 
 def _vjp_bwd(resolution, tile_hw, interpret, res, cotangents):
-    packed, tile_idx, ids, inv_pos, inv_valid = res
+    packed, tile_idx, tile_counts, ids, inv_pos, inv_valid = res
     _, d_rows = cotangents  # d_ids is int cotangent (ignored)
     b, t_count, _ = packed.shape
     h, w = resolution
     th, tw = tile_hw
     nty, ntx = -(-h // th), -(-w // tw)
     num_tiles, k = tile_idx.shape
-    k_chunk = min(256, k)
+    k_chunk = min(128, k)
 
     # pad d_rows/ids back to tile multiples (d_rows is planar (B, 32, H, W))
     d_rows_p = jnp.pad(
@@ -291,39 +300,39 @@ def _vjp_bwd(resolution, tile_hw, interpret, res, cotangents):
 
     safe_idx = jnp.minimum(tile_idx, t_count - 1)
     bin_rows = packed[:, safe_idx]
-    sentinel = (tile_idx >= t_count)[None, :, :]
-    bin_rows = bin_rows.at[..., 13].set(
-        jnp.where(sentinel, -2.0, bin_rows[..., 13])
-    )
 
     kernel = functools.partial(_bwd_kernel, th=th, tw=tw, k_chunk=k_chunk)
+    bwd_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, num_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, th, tw), lambda bi, ti, c: (bi, ti // ntx, ti % ntx),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, k, PACKED_WIDTH), lambda bi, ti, c: (bi, ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, PACKED_WIDTH, th, tw),
+                lambda bi, ti, c: (bi, 0, ti // ntx, ti % ntx),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, k, PACKED_WIDTH), lambda bi, ti, c: (bi, ti, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
     d_bin = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
             (b, num_tiles, k, PACKED_WIDTH), jnp.float32
         ),
-        grid=(b, num_tiles),
-        in_specs=[
-            pl.BlockSpec(
-                (1, th, tw), lambda bi, ti: (bi, ti // ntx, ti % ntx),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, k, PACKED_WIDTH), lambda bi, ti: (bi, ti, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, PACKED_WIDTH, th, tw),
-                lambda bi, ti: (bi, 0, ti // ntx, ti % ntx),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, k, PACKED_WIDTH), lambda bi, ti: (bi, ti, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        grid_spec=bwd_grid,
         interpret=interpret,
-    )(ids_p, bin_rows, d_rows_p)
+    )(tile_counts, ids_p, bin_rows, d_rows_p)
 
     # per-triangle reduction over its <=M tile occurrences: T-row gathers
     d_bin_flat = d_bin.reshape(b, num_tiles * k, PACKED_WIDTH)
@@ -349,3 +358,10 @@ def _vjp_bwd(resolution, tile_hw, interpret, res, cotangents):
 
 
 raster_gather_rows.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# NOTE: a fully planar kernel variant ((B, 32, T) table straight into the
+# kernel) was tried and removed: Mosaic cannot scalar-index the lane
+# dimension dynamically, which the per-triangle id-search loop needs.  The
+# pipeline instead builds the packed table planar (render/planar.py) and
+# transposes once at this op's boundary — see pipeline.render_batch.

@@ -109,102 +109,142 @@ def render_batch(
         pos_c = pos[flat_idx][None]  # (1, 3T, 3)
     else:
         pos_c = jnp.take(pos, flat_idx, axis=1)
-    corners_clip = xfm_points(pos_c, mvp).reshape(b, t_count, 3, 4)
 
-    setup = triangle_setup_from_corners(corners_clip)
-
-    # ---- attribute planes
-    # rotation-only camera z per corner (for depth; reference semantics
-    # including the -t_z background, diffdope.py:203-209)
-    zrot_c = jnp.einsum(
-        "...j,...nj->...n", mtx[..., 2, :3], pos_c, precision="highest"
-    ).reshape(b, t_count, 3, 1)
-
+    # per-corner attribute values (static for meshes, traced for appearance
+    # optimization); the rotation-only camera z is appended as the depth
+    # channel in each branch (reference depth semantics incl. the -t_z
+    # background, diffdope.py:203-209)
     color_mode = None
     if corner_colors is not None:
-        # baked texture (or any per-corner colors): Gouraud via planes
-        corner_vals = jnp.concatenate(
-            [jnp.broadcast_to(corner_colors[None], (b, t_count, 3, 3)), zrot_c],
-            axis=-1,
-        )
-        n_attr = 4  # r, g, b, zrot
+        attr_corner_vals = corner_colors  # (T, 3, 3) baked texture / Gouraud
         color_mode = "planes"
     elif tex is not None:
         if uv is None or uv_idx is None:
             raise ValueError("textured render requires uv and uv_idx")
-        uv_c = uv[uv_idx.reshape(-1)].reshape(t_count, 3, 2)
-        corner_vals = jnp.concatenate(
-            [jnp.broadcast_to(uv_c[None], (b, t_count, 3, 2)), zrot_c], axis=-1
-        )
-        n_attr = 3  # u, v, zrot
+        attr_corner_vals = uv[uv_idx.reshape(-1)].reshape(t_count, 3, 2)
         color_mode = "texture"
     elif vtx_color is not None:
-        col_c = vtx_color[flat_idx].reshape(t_count, 3, 3)
-        corner_vals = jnp.concatenate(
-            [jnp.broadcast_to(col_c[None], (b, t_count, 3, 3)), zrot_c], axis=-1
-        )
-        n_attr = 4  # r, g, b, zrot
+        attr_corner_vals = vtx_color[flat_idx].reshape(t_count, 3, 3)
         color_mode = "planes"
     else:
         raise ValueError("render requires corner_colors, tex(+uv), or vtx_color")
+    n_attr = attr_corner_vals.shape[-1] + 1  # + rotation-z depth channel
 
-    planes = attribute_planes(corner_vals, setup)
-    packed = pack_rows(setup, silhouette_bits(setup.det, edge_adj), planes)
-
-    # ---- triangle-id search + row gather
     impl = raster_impl
     if impl == "auto":
         impl = "reference" if t_count <= 256 else "pallas"
+
     if impl == "reference":
+        corners_clip = xfm_points(pos_c, mvp).reshape(b, t_count, 3, 4)
+        setup = triangle_setup_from_corners(corners_clip)
+        zrot_c = jnp.einsum(
+            "...j,...nj->...n", mtx[..., 2, :3], pos_c, precision="highest"
+        ).reshape(b, t_count, 3, 1)
+        corner_vals = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    attr_corner_vals[None], (b,) + attr_corner_vals.shape
+                ),
+                zrot_c,
+            ],
+            axis=-1,
+        )
+        planes = attribute_planes(corner_vals, setup)
+        packed = pack_rows(setup, silhouette_bits(setup.det, edge_adj), planes)
         ids = jax.lax.stop_gradient(raster_ids_reference(setup.coef, resolution))
         sh = shade_rows(
             ids, packed, resolution, attr_channels=n_attr,
             stack_outputs=return_rast_out,
         )
     elif impl == "pallas":
+        # planar fast path (render/planar.py): every per-triangle quantity
+        # is built as a (B, T) plane (no small minor dims); one transpose at
+        # the kernel boundary converts to the sublane-major layout the
+        # Mosaic kernel needs for its per-triangle scalar loads
+        from diffdope_tpu.render.planar import (
+            bin_triangles_planar,
+            corner_planes,
+            packed_planar,
+        )
+
         interpret = jax.default_backend() not in ("tpu", "axon")
+        cp = corner_planes(pos_c, mvp)
+        degenerate = (
+            (pos_idx[:, 0] == pos_idx[:, 1])
+            | (pos_idx[:, 1] == pos_idx[:, 2])
+            | (pos_idx[:, 2] == pos_idx[:, 0])
+        )
+        zrot = jnp.einsum(
+            "...j,...nj->...n", mtx[..., 2, :3], pos_c, precision="highest"
+        )  # (B, 3T)
+        packed_pl, det = packed_planar(
+            cp, attr_corner_vals, zrot, edge_adj, degenerate
+        )
+
         if bins is not None:
-            # precomputed binning (precompute_bins): one conservative pass
-            # with a pixel margin serves the whole refinement
             idx, counts, inv_pos, inv_valid = bins
         else:
-            idx, counts, _ = bin_triangles(
-                jax.lax.stop_gradient(corners_clip), setup.det,
-                resolution, tile_hw, max_tris_per_tile,
+            idx, counts, _ = bin_triangles_planar(
+                cp, det, resolution, tile_hw, max_tris_per_tile
             )
             inv_pos, inv_valid = invert_bins(idx, t_count)
-        ids, rows = raster_gather_rows(
-            packed, idx, counts, inv_pos, inv_valid,
+        from diffdope_tpu.render.raster_v2 import raster_gather_rows_v2
+
+        ids, rows = raster_gather_rows_v2(
+            packed_pl, idx, counts, inv_pos, inv_valid,
             tuple(resolution), tuple(tile_hw), interpret,
         )
-        sh = shade_from_rows(
-            ids, rows, resolution, attr_channels=n_attr,
-            stack_outputs=return_rast_out,
-        )
+        sh = None  # shading happens inside the checkpointed section below
     else:
         raise ValueError(f"unknown raster_impl {impl!r}")
 
     # everything below is channel-planar (B, H, W) — channels-last temps pay
     # a 42x lane-padding penalty on TPU
-    fg = (ids > 0).astype(packed.dtype)
+    def shade_and_aa(rows_in, ids_in, tz, sh_pre):
+        if sh_pre is None:
+            shd = shade_from_rows(
+                ids_in, rows_in, resolution, attr_channels=n_attr,
+                stack_outputs=return_rast_out,
+            )
+        else:
+            shd = sh_pre
+        fg = (ids_in > 0).astype(rows_in.dtype)
 
-    # ---- mask with analytic antialiasing (coverage gradients)
-    mask1 = antialias_rows(fg, ids, sh["zw"], sh["rows"], resolution)
+        # mask with analytic antialiasing (coverage gradients)
+        mask1 = antialias_rows(fg, ids_in, shd["zw"], shd["rows"], resolution)
 
-    # ---- color channels
-    if color_mode == "texture":
-        texc = jnp.stack([sh["attrs_list"][0], sh["attrs_list"][1]], axis=-1)
-        color_img = texture(tex, texc, filter_mode="linear")
-        colors = tuple(color_img[..., c] * fg for c in range(3))
-    else:
-        colors = tuple(sh["attrs_list"][c] for c in range(3))
-    if antialias_rgb:
-        colors = tuple(
-            antialias_rows(c, ids, sh["zw"], sh["rows"], resolution) for c in colors
+        # color channels
+        if color_mode == "texture":
+            texc = jnp.stack([shd["attrs_list"][0], shd["attrs_list"][1]], axis=-1)
+            color_img = texture(tex, texc, filter_mode="linear")
+            colors = tuple(color_img[..., c] * fg for c in range(3))
+        else:
+            colors = tuple(shd["attrs_list"][c] for c in range(3))
+        if antialias_rgb:
+            colors = tuple(
+                antialias_rows(c, ids_in, shd["zw"], shd["rows"], resolution)
+                for c in colors
+            )
+
+        # depth (rotation-z plane + translation; bg = -t_z exactly)
+        depth = -(shd["attrs_list"][n_attr - 1] + tz[..., None, None])
+        rast = shd["rast"]
+        return mask1, colors, depth, rast
+
+    if impl == "pallas":
+        # Rematerialize only the post-kernel shading in the backward pass:
+        # its AD residuals are the wide rows-derived temps (>24 GB at bench
+        # scale unchecked), while recomputing it costs a few elementwise
+        # passes.  The raster kernel output (rows) is a saved input here, so
+        # the kernel is NOT re-run (jax.checkpoint around the whole render —
+        # including the custom-vjp kernel — would re-run it: 268 ms/step).
+        mask1, colors, depth, rast_stacked = jax.checkpoint(shade_and_aa)(
+            rows, ids, mtx[..., 2, 3], None
         )
-
-    # ---- depth (rotation-z plane + translation; bg = -t_z exactly)
-    depth = -(sh["attrs_list"][n_attr - 1] + mtx[..., 2, 3][..., None, None])
+    else:
+        mask1, colors, depth, rast_stacked = shade_and_aa(
+            sh["rows"], ids, mtx[..., 2, 3], sh
+        )
 
     if layout == "channels":
         return {
@@ -212,7 +252,7 @@ def render_batch(
             "rgb": colors,            # tuple of 3 (B, H, W)
             "depth": depth,           # (B, H, W)
             "ids": ids,
-            "rast_out": sh["rast"] if return_rast_out else None,
+            "rast_out": rast_stacked if return_rast_out else None,
         }
 
     rgb = jnp.stack(colors, axis=-1)
@@ -221,7 +261,7 @@ def render_batch(
         "rgb": rgb,
         "depth": depth,
         "mask": mask,
-        "rast_out": sh["rast"] if return_rast_out else None,
+        "rast_out": rast_stacked if return_rast_out else None,
     }
 
 

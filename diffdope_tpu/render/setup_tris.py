@@ -152,9 +152,12 @@ def pixel_ndc(resolution: Tuple[int, int], dtype=jnp.float32) -> Tuple[Array, Ar
     vertically flipped at load (reference diffdope.py:1131-1132).
     """
     h, w = resolution
-    xs = (2.0 * jnp.arange(w, dtype=dtype) + 1.0) / w - 1.0
-    ys = (2.0 * jnp.arange(h, dtype=dtype) + 1.0) / h - 1.0
-    return jnp.broadcast_to(xs[None, :], (h, w)), jnp.broadcast_to(ys[:, None], (h, w))
+    # broadcasted_iota (not arange+broadcast): generated inside consumer
+    # fusions, so no 1-D coordinate buffers get materialized and copied
+    # around (measured ~50 ms/step of small-array copy stalls at bench scale)
+    jx = jax.lax.broadcasted_iota(dtype, (h, w), 1)
+    jy = jax.lax.broadcasted_iota(dtype, (h, w), 0)
+    return (2.0 * jx + 1.0) / w - 1.0, (2.0 * jy + 1.0) / h - 1.0
 
 
 def bin_triangles(
@@ -248,8 +251,12 @@ def bin_triangles(
     k = min(max_tris_per_tile, t_count)
     # top_k on negated values selects the K smallest indices
     neg_topk, _ = jax.lax.top_k(-vals, k)
-    idx = -neg_topk  # (num_tiles, K) ascending? top_k returns sorted desc -> idx ascending
+    idx = -neg_topk  # (num_tiles, K), ascending
     counts_full = jnp.sum(mask, axis=-1).astype(jnp.int32)
     counts = jnp.minimum(counts_full, k)
     overflow = jnp.sum(jnp.maximum(counts_full - k, 0))
+    # pad K to a multiple of the kernel chunk (sentinel columns, never read)
+    k_pad = -(-k // 128) * 128
+    if k_pad != k:
+        idx = jnp.pad(idx, ((0, 0), (0, k_pad - k)), constant_values=t_count)
     return idx, counts, overflow

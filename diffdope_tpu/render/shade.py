@@ -223,9 +223,7 @@ def antialias_rows(
     padding) or (B, H, W, C) channels-last.
     """
     has_c = color.ndim == 4
-    x, y = pixel_ndc(resolution, color.dtype)
-    xs = x[0]  # (W,)
-    ys = y[:, 0]  # (H,)
+    x, y = pixel_ndc(resolution, color.dtype)  # fused 2-D iotas
 
     ids_ng = jax.lax.stop_gradient(ids)
     zw_ng = jax.lax.stop_gradient(zw)
@@ -241,8 +239,8 @@ def antialias_rows(
         ids_ng[:, :, :-1], ids_ng[:, :, 1:],
         zw_ng[:, :, :-1], zw_ng[:, :, 1:],
         rows[..., :-1], rows[..., 1:],
-        along=xs[None, None, :-1], along_next=xs[None, None, 1:],
-        across=ys[None, :, None],
+        along=x[None, :, :-1], along_next=x[None, :, 1:],
+        across=y[None, :, :-1],
         horizontal=True,
     )
     delta = pad_img(d_a, 2, "back") + pad_img(d_b, 2, "front")
@@ -253,8 +251,8 @@ def antialias_rows(
         ids_ng[:, :-1, :], ids_ng[:, 1:, :],
         zw_ng[:, :-1, :], zw_ng[:, 1:, :],
         rows[:, :, :-1, :], rows[:, :, 1:, :],
-        along=ys[None, :-1, None], along_next=ys[None, 1:, None],
-        across=xs[None, None, :],
+        along=y[None, :-1, :], along_next=y[None, 1:, :],
+        across=x[None, :-1, :],
         horizontal=False,
     )
     delta = delta + pad_img(d_t, 1, "back") + pad_img(d_bt, 1, "front")
