@@ -39,6 +39,7 @@ from diffdope_tpu.optimize import (
     argmin_hypothesis,
     draw_learning_rates,
     refine,
+    refine_segmented,
 )
 from diffdope_tpu.render.pipeline import render_batch
 from diffdope_tpu import viz
@@ -108,7 +109,8 @@ class DiffDope:
         self.optimizer_name = str(tpu_cfg.get("optimizer", "sgd"))
         self.raster_impl = str(tpu_cfg.get("raster_impl", "auto"))
         self.tile_hw = (int(tpu_cfg.get("tile_h", 32)), int(tpu_cfg.get("tile_w", 128)))
-        self.max_tris_per_tile = int(tpu_cfg.get("max_tris_per_tile", 1024))
+        mk = tpu_cfg.get("max_tris_per_tile", "auto")
+        self.max_tris_per_tile = mk if mk == "auto" else int(mk)
 
         self.camera = camera if camera is not None else Camera(**self.cfg.camera)
         self.object3d = (
@@ -195,10 +197,49 @@ class DiffDope:
             out["vtx_color"] = jnp.asarray(mesh.vtx_color)
         return out
 
+    def _resolve_max_tris(self, arrays, proj, resolution) -> int:
+        """'auto' K: measure per-tile counts at the initial poses and pad.
+
+        A fixed K either overflows (dropped triangles -> speckled renders)
+        or wastes kernel work; sizing it from the scene once per run keeps
+        the bins exact with bounded slack.  1.5x margin covers pose drift
+        during the refinement; rebinning happens every step regardless.
+        """
+        if self.max_tris_per_tile != "auto":
+            return int(self.max_tris_per_tile)
+        from diffdope_tpu.optimize import pose_matrix
+        from diffdope_tpu.render.planar import (
+            bin_triangles_planar,
+            corner_planes,
+            packed_planar,
+        )
+
+        t_count = int(arrays["pos_idx"].shape[0])
+
+        @jax.jit
+        def measure(mtx):
+            mvp = jnp.einsum(
+                "...ij,...jk->...ik", proj[None], mtx, precision="highest"
+            )
+            pos_c = arrays["pos"][arrays["pos_idx"].reshape(-1)][None]
+            cp = corner_planes(pos_c[0], mvp)
+            _, det = packed_planar(cp, None, None, None)
+            _, counts, _ = bin_triangles_planar(
+                cp, det, resolution, self.tile_hw, t_count
+            )
+            return counts.max()
+
+        mtx0, _, _ = jax.jit(pose_matrix)(self.object3d.initial_params(1))
+        max_count = int(measure(mtx0))
+        k = min(t_count, max(512, -(-int(max_count * 1.5) // 128) * 128))
+        log.info("auto max_tris_per_tile: measured %d -> K=%d", max_count, k)
+        return k
+
     def _make_render_fn(self, layout: str = "channels", with_bins: bool = False):
         arrays = self._mesh_arrays()
         proj = jnp.asarray(self.camera.cam_proj, jnp.float32)
         resolution = tuple(self.resolution)
+        max_tris = self._resolve_max_tris(arrays, proj, resolution)
 
         bins = None
         impl = self.raster_impl
@@ -214,23 +255,25 @@ class DiffDope:
             bins = jax.jit(
                 lambda m: precompute_bins(
                     proj, m, arrays["pos"], arrays["pos_idx"], resolution,
-                    self.tile_hw, self.max_tris_per_tile, margin,
+                    self.tile_hw, max_tris, margin,
                 )
             )(mtx0)
 
-        def render_fn(mtx, tex=None, vtx_color=None):
+        def render_fn(mtx, tex=None, vtx_color=None, corner_colors=None):
             kw = dict(arrays)
             if tex is not None:
                 kw["tex"] = tex
             if vtx_color is not None:
                 kw["vtx_color"] = vtx_color
+            if corner_colors is not None:
+                kw["corner_colors"] = corner_colors
             return render_batch(
                 proj,
                 mtx,
                 resolution=resolution,
                 raster_impl=self.raster_impl,
                 tile_hw=self.tile_hw,
-                max_tris_per_tile=self.max_tris_per_tile,
+                max_tris_per_tile=max_tris,
                 layout=layout,
                 bins=bins,
                 **kw,
@@ -258,7 +301,9 @@ class DiffDope:
         params0 = self.object3d.initial_params(self.batchsize)
 
         # rebuilt every run: the render closure bakes in the per-run binning
-        # (XLA's compile cache absorbs unchanged retraces)
+        # (XLA's compile cache absorbs unchanged retraces).  Execution is
+        # segmented: some environments kill single device programs past ~60s.
+        segment = int(self.cfg.get("tpu", ConfigNode()).get("scan_segment", 40))
         self._refine_jit = jax.jit(
             partial(
                 refine,
@@ -269,11 +314,34 @@ class DiffDope:
                 base_lr=self.base_lr,
                 lr_decay=self.lr_decay,
                 optimizer=self.optimizer_name,
-            )
+            ),
+            static_argnames=("num_steps",),
         )
 
+        # appearance refinement (reference Mesh.enable_gradients_texture,
+        # diffdope.py:909-920): lift the color leaves into the optimized
+        # parameter pytree
+        extra_params = None
+        mesh = self.object3d.mesh
+        if getattr(mesh, "optimize_appearance", False):
+            if mesh.corner_colors is not None:
+                extra_params = {"corner_colors": jnp.asarray(mesh.corner_colors)}
+            elif mesh.vtx_color is not None:
+                extra_params = {"vtx_color": jnp.asarray(mesh.vtx_color)}
+
         t0 = time.perf_counter()
-        result = self._refine_jit(params0, gt=gt, learning_rates=self.learning_rates)
+        if extra_params is not None:
+            result = self._refine_jit(
+                params0, gt=gt, learning_rates=self.learning_rates,
+                extra_params=extra_params,
+            )
+        else:
+            result = refine_segmented(
+                params0, render_fn, tuple(self.loss_functions), gt,
+                self.learning_rates, self.loss_weights,
+                nb_iterations=self.nb_iterations, segment_steps=segment,
+                jit_refine=self._refine_jit,
+            )
         jax.block_until_ready(result.mtx_history)
         dt = time.perf_counter() - t0
 

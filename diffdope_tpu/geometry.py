@@ -8,8 +8,9 @@ TPU-native replacement for three pieces of the reference:
 * ``opencv_2_opengl`` (reference diffdope/diffdope.py:92-140, incl. the legacy
   quaternion-correction block) -> :func:`opencv_to_opengl`.  The reference
   routes this through pyrr with ambiguous row/column conventions; here the
-  convention is an explicit enum calibrated against the bundled example scene
-  (see tools/calibrate_convention.py).
+  convention is explicit (``conjugate_flip``) and was calibrated against the
+  bundled example scene (tools/calibrate_convention.py renders all four
+  candidate readings and scores silhouette IoU vs the gt segmentation).
 * the ``xfm`` CUDA extension (reference diffdope/ops.py + diffdope/c_src/*)
   -> :func:`xfm_points` / :func:`xfm_vectors` — a batched einsum.  On TPU this
   lands on the MXU and XLA's autodiff produces exactly the hand-written
@@ -285,14 +286,17 @@ def projection_from_intrinsics(
 # Point / vector transforms (the reference's custom CUDA op, as one einsum)
 # ---------------------------------------------------------------------------
 
-def xfm_points(points: Array, matrix: Array) -> Array:
+def xfm_points(points: Array, matrix: Array, use_python: bool = False) -> Array:
     """Transform (..., N, 3) points by (..., 4, 4) matrices -> (..., N, 4).
 
     Homogeneous output (w kept), matching ``dd.xfm_points`` (reference
     diffdope/ops.py:128-149, kernels diffdope/c_src/mesh.cu:22-163).  One
     batched matmul: XLA schedules it on the MXU and derives both backward
-    matmuls automatically.
+    matmuls automatically.  ``use_python`` is accepted for API parity with
+    the reference's dual-path validation (ops.py:137-141) — here the
+    "python" path IS the implementation, so it is a no-op.
     """
+    del use_python
     # precision='highest': geometry must stay true fp32 — the session/TPU
     # default lowers matmuls to bf16, which is catastrophic for clip-space
     # coordinates (SURVEY.md section 7 "numerical fidelity").
@@ -308,11 +312,12 @@ def xfm_points(points: Array, matrix: Array) -> Array:
     return jnp.concatenate([out, w[..., None]], axis=-1)
 
 
-def xfm_vectors(vectors: Array, matrix: Array) -> Array:
+def xfm_vectors(vectors: Array, matrix: Array, use_python: bool = False) -> Array:
     """Transform (..., N, 3) direction vectors (no translation) -> (..., N, 3).
 
     Equivalent of ``dd.xfm_vectors`` (reference diffdope/ops.py:152-175).
     """
+    del use_python
     return jnp.einsum(
         "...ij,...nj->...ni", matrix[..., :3, :3], vectors,
         precision="highest", preferred_element_type=vectors.dtype,

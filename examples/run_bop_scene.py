@@ -29,6 +29,7 @@ import cv2  # noqa: E402
 import numpy as np  # noqa: E402
 
 import diffdope_tpu as dd  # noqa: E402
+from diffdope_tpu.bop import refine_bop_frame  # noqa: E402
 from diffdope_tpu.config import cli_overrides  # noqa: E402
 
 
@@ -51,79 +52,25 @@ def main():
         data_scene = json.load(f)
     frame_objs = data_scene[frame]
 
-    # one scene's images, shared by all its objects
-    scene = dd.Scene(
-        path_img=str(scene_dir / "rgb" / f"{frame.zfill(6)}.png"),
-        path_depth=str(scene_dir / "depth" / f"{frame.zfill(6)}.png"),
-        path_segmentation=str(scene_dir / "rgb" / f"{frame.zfill(6)}.png"),
-        image_resize=cfg.scene.image_resize,
+    gt_objs = None
+    gt_json = Path(bop.get("gt_json", ""))
+    if gt_json.exists():
+        with open(gt_json) as f:
+            gt_objs = json.load(f)[frame]
+
+    results = refine_bop_frame(
+        cfg, scene_dir, models_dir, frame_objs, frame=frame,
+        obj_scale=obj_scale, gt_objs=gt_objs,
     )
-
-    # camera intrinsics: from scene_camera.json when present, else config
-    cam_json = scene_dir / "scene_camera.json"
-    if cam_json.exists():
-        with open(cam_json) as f:
-            k = np.asarray(json.load(f)[frame]["cam_K"], float).reshape(3, 3)
-        h, w = cv2.imread(str(scene_dir / "rgb" / f"{frame.zfill(6)}.png")).shape[:2]
-        camera = dd.Camera(
-            fx=k[0, 0], fy=k[1, 1], cx=k[0, 2], cy=k[1, 2], im_width=w, im_height=h
-        )
-    else:
-        camera = dd.Camera(**cfg.camera)
-
-    loaded_models = {}
-    results = {}
-    ddope = None
-
-    for i_obj, obj in enumerate(frame_objs):
-        obj_id = obj["obj_id"]
-        if obj_id not in loaded_models:
-            loaded_models[obj_id] = dd.load_mesh(
-                models_dir / f"obj_{str(obj_id).zfill(6)}.ply", scale=obj_scale
-            )
-
-        pose = dd.Object3D(
-            position=obj["cam_t_m2c"],
-            rotation=obj["cam_R_m2c"],
-            scale=obj_scale,
-            batchsize=cfg.hyperparameters.batchsize,
-            mesh=loaded_models[obj_id],
-        )
-
-        mask_path = scene_dir / "mask_visib" / f"{frame.zfill(6)}_{str(i_obj).zfill(6)}.png"
-        scene.tensor_segmentation = dd.Image(
-            img_path=str(mask_path), img_resize=cfg.scene.image_resize
-        )
-
-        if ddope is None:
-            ddope = dd.DiffDope(cfg=cfg, camera=camera, object3d=pose, scene=scene)
-        else:
-            # swap object/scene in place (reference run_bop_scene.py:82-83);
-            # re-jit happens automatically on shape change
-            ddope.object3d = pose
-            ddope.scene = scene
-            ddope._render_jit = None
-            ddope._refine_jit = None
-
-        ddope.run_optimization()
-
-        pose_cv = ddope.get_pose_opencv()
-        results[str(i_obj)] = {
-            "obj_id": obj_id,
-            "cam_R_m2c": (pose_cv[:3, :3]).reshape(-1).tolist(),
-            "cam_t_m2c": (pose_cv[:3, 3] / obj_scale).tolist(),
-            "argmin": int(ddope.get_argmin()),
-            "final_loss": ddope.last_run_stats["final_loss"],
-        }
-        print(f"object {i_obj} (obj_id {obj_id}): argmin={ddope.get_argmin()}, "
-              f"{ddope.last_run_stats}")
-
-        img = ddope.render_img()
-        cv2.imwrite(str(out_dir / f"{str(i_obj).zfill(2)}.png"), img)
 
     with open(out_dir / "refined_poses.json", "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out_dir / 'refined_poses.json'}")
+    for k, v in results.items():
+        line = f"object {k} (obj_id {v['obj_id']}): loss {v['final_loss']:.5f}"
+        if "add" in v:
+            line += f", ADD {v['add']:.4f} ({100*v['add']/v['diameter']:.1f}% of diameter)"
+        print(line)
 
 
 if __name__ == "__main__":
