@@ -44,6 +44,17 @@ _BIG = 1e9
 _INF = jnp.inf
 
 
+def _pick_chunk(k: int) -> int:
+    """Largest chunk (multiple of 128, <= DD_KCHUNK cap) dividing K."""
+    import os
+
+    cap = int(os.environ.get("DD_KCHUNK", "1024"))
+    for c in (1024, 512, 384, 256, 128):
+        if c <= cap and c <= k and k % c == 0:
+            return c
+    return min(k, 128)
+
+
 def _fwd_kernel_v2(
     counts_ref, bins_ref, ids_ref, rows_ref, zm_scratch,
     *, th, tw, ntx, h, w, k_chunk,
@@ -249,9 +260,7 @@ def _fwd_v2(packed, tile_idx, tile_counts, resolution, tile_hw, interpret):
     th, tw = tile_hw
     nty, ntx = -(-h // th), -(-w // tw)
     num_tiles, k = tile_idx.shape
-    import os
-    k_chunk = min(int(os.environ.get("DD_KCHUNK", "1024")), k)
-    assert k % k_chunk == 0
+    k_chunk = _pick_chunk(k)
 
     bins = _bins_planar(packed, tile_idx)
     kernel = functools.partial(
@@ -312,8 +321,7 @@ def _vjp_bwd_v2(resolution, tile_hw, interpret, res, cotangents):
     th, tw = tile_hw
     nty, ntx = -(-h // th), -(-w // tw)
     num_tiles, k = tile_idx.shape
-    import os
-    k_chunk = min(int(os.environ.get("DD_KCHUNK", "1024")), k)
+    k_chunk = _pick_chunk(k)
 
     d_rows_p = jnp.pad(
         d_rows, ((0, 0), (0, 0), (0, nty * th - h), (0, ntx * tw - w))

@@ -203,15 +203,41 @@ def write_animation(
     frame_rate: int = 10,
 ) -> None:
     """Write BGR frames to an mp4 (reference make_animation,
-    diffdope.py:1515-1552; libx264 via imageio)."""
+    diffdope.py:1515-1552).  Uses imageio/libx264 when an ffmpeg backend is
+    available, falling back to cv2.VideoWriter (mp4v) otherwise."""
     import cv2
-    import imageio
 
-    writer = imageio.get_writer(
-        output_file_path, mode="I", fps=frame_rate, codec="libx264", bitrate="16M"
-    )
+    frames = iter(frames)
     try:
-        for frame in frames:
-            writer.append_data(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
-    finally:
-        writer.close()
+        import imageio
+
+        writer = imageio.get_writer(
+            output_file_path, mode="I", fps=frame_rate, codec="libx264",
+            bitrate="16M",
+        )
+        use_imageio = True
+    except Exception:
+        writer = None
+        use_imageio = False
+
+    if use_imageio:
+        try:
+            for frame in frames:
+                writer.append_data(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            writer.close()
+            return
+        except ValueError:
+            # imageio present but no ffmpeg backend: fall through to cv2
+            writer.close()
+
+    vw = None
+    for frame in frames:
+        if vw is None:
+            h, w = frame.shape[:2]
+            vw = cv2.VideoWriter(
+                str(output_file_path), cv2.VideoWriter_fourcc(*"mp4v"),
+                frame_rate, (w, h),
+            )
+        vw.write(frame)
+    if vw is not None:
+        vw.release()
