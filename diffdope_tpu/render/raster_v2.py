@@ -85,8 +85,13 @@ def _fwd_kernel_v2(
     def row_body(r, ids_mat):
         y_r = (2.0 * (y0 + r).astype(jnp.float32) + 1.0) / h - 1.0
 
-        # ---- phase A: z-test over all chunks, zm cached in scratch
-        def chunk_a(ci, zbest):
+        # ---- phase A: z-test over all chunks, zm cached in scratch; the
+        # winning id is tracked in the same pass (smallest id among the
+        # chunk's zmin holders; strict < across chunks keeps ties
+        # deterministic toward the smaller chunk = smaller id, matching the
+        # reference scan order)
+        def chunk_a(ci, carry):
+            zbest, idbest = carry
             base = pl.multiple_of(ci * k_chunk, 128)
             c32 = bins_ref[0, 0, :, pl.ds(base, k_chunk)]  # (32, kc)
 
@@ -108,22 +113,25 @@ def _fwd_kernel_v2(
             ok = covered & (z >= -1.0) & (z <= 1.0) & (slot < count)
             zm = jnp.where(ok, z, _INF)  # (tw, kc)
             zm_scratch[:, pl.ds(base, k_chunk)] = zm
-            return jnp.minimum(zbest, jnp.min(zm, axis=1, keepdims=True))
+            z_c = jnp.min(zm, axis=1, keepdims=True)  # (tw, 1)
+            ids_f = c32[13:14, :]
+            id_c = jnp.min(
+                jnp.where(zm == z_c, ids_f, _BIG), axis=1, keepdims=True
+            )
+            better = z_c < zbest
+            same = z_c == zbest
+            return (
+                jnp.where(better, z_c, zbest),
+                jnp.where(
+                    better, id_c,
+                    jnp.where(same, jnp.minimum(id_c, idbest), idbest),
+                ),
+            )
 
-        zbest = jax.lax.fori_loop(
-            0, used, chunk_a, jnp.full((tw, 1), _INF, jnp.float32)
-        )
-
-        # ---- phase B: smallest winning triangle id (deterministic ties)
-        def chunk_b(ci, idbest):
-            base = pl.multiple_of(ci * k_chunk, 128)
-            ids_f = bins_ref[0, 0, 13:14, pl.ds(base, k_chunk)]  # (1, kc)
-            zm = zm_scratch[:, pl.ds(base, k_chunk)]
-            cand = jnp.where(zm == zbest, ids_f, _BIG)
-            return jnp.minimum(idbest, jnp.min(cand, axis=1, keepdims=True))
-
-        idbest = jax.lax.fori_loop(
-            0, used, chunk_b, jnp.full((tw, 1), _BIG, jnp.float32)
+        zbest, idbest = jax.lax.fori_loop(
+            0, used, chunk_a,
+            (jnp.full((tw, 1), _INF, jnp.float32),
+             jnp.full((tw, 1), _BIG, jnp.float32)),
         )
 
         # ---- phase C: one-hot row gather on the MXU
