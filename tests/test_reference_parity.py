@@ -1,0 +1,484 @@
+"""Golden-parity tests against the REFERENCE's own host-side functions.
+
+The reference implementation at /root/reference (NVlabs/diff-dope) is
+executed directly as an oracle: the needed top-level functions are extracted
+from its source by name (ast), exec'd with torch CPU, and compared with this
+repo's implementations on random inputs.  Nothing from the reference is
+copied into the repo — it is loaded from /root/reference at test time and
+the tests skip when that checkout is absent.
+
+Covered oracles (VERDICT round-1 items 3 & 4):
+  * matrix_batch_44_from_position_quat  (diffdope.py:46-89)
+  * Camera.get_projection_matrix        (diffdope.py:679-742)
+  * l1_rgb_with_mask / l1_depth_with_mask / l1_mask + dist_batch_lr
+                                        (diffdope.py:534-613)
+  * find_crop                           (diffdope.py:242-274)
+  * opencv_2_opengl incl. the "legacy" pyrr quaternion block
+                                        (diffdope.py:92-140)
+
+pyrr is not installable in this image, so ``opencv_2_opengl`` runs against a
+minimal local emulation whose two genuinely ambiguous conventions (rotation
+angle sign; quaternion Hamilton-product operand order) are swept.  Two facts
+make the sweep conclusive:
+
+1. STRUCTURE: whatever the convention, the composite map is R -> A @ R @ B
+   with constant A, B products of +-90deg axis rotations (verified
+   numerically below).  Two such maps that agree at a single generic
+   rotation agree everywhere (A2^-1 A1 = R X R^-1 can only stay in the
+   finite octahedral group for generic R when X = I).
+2. ANCHOR: tools/calibrate_convention.py showed that rendering the bundled
+   example scene with R_gl = F @ R_cv @ F (F = diag(1,-1,-1)) aligns with
+   the ground-truth segmentation (IoU 0.785; every other candidate <= 0.1)
+   at a generic pose.
+
+So the test asserts (a) the structure property for every convention
+reading, (b) at least one reading reproduces geometry.opencv_to_opengl's
+F@R@F exactly on hundreds of random poses, and (c) the translation map is
+reading-independent and matches.
+"""
+
+from __future__ import annotations
+
+import ast
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF_FILE = Path("/root/reference/diffdope/diffdope.py")
+
+pytestmark = pytest.mark.skipif(
+    not REF_FILE.exists(), reason="reference checkout not available"
+)
+
+torch = pytest.importorskip("torch")
+
+
+# ---------------------------------------------------------------------------
+# reference-source extraction
+# ---------------------------------------------------------------------------
+
+def _extract(names, extra_globals=None):
+    """Exec the named top-level defs/classes from the reference source."""
+    src = REF_FILE.read_text()
+    tree = ast.parse(src)
+    keep = [
+        node for node in tree.body
+        if isinstance(node, (ast.FunctionDef, ast.ClassDef)) and node.name in names
+    ]
+    missing = set(names) - {n.name for n in keep}
+    assert not missing, f"reference functions not found: {missing}"
+    module = ast.Module(body=keep, type_ignores=[])
+    from dataclasses import dataclass, field
+    from typing import Optional
+
+    ns = {
+        "torch": torch,
+        "np": np,
+        "numpy": np,
+        "dataclass": dataclass,
+        "field": field,
+        "Optional": Optional,
+    }
+    if extra_globals:
+        ns.update(extra_globals)
+    exec(compile(module, str(REF_FILE), "exec"), ns)
+    return ns
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _cpu_cuda():
+    """The reference hard-codes .cuda(); run it on CPU."""
+    orig = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    yield
+    torch.Tensor.cuda = orig
+
+
+# ---------------------------------------------------------------------------
+# quat -> matrix
+# ---------------------------------------------------------------------------
+
+def _random_unit_quats(n, seed):
+    rng = np.random.default_rng(seed)
+    q = rng.normal(size=(n, 4))
+    return (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
+
+
+class TestMatrix44FromPositionQuat:
+    def test_matches_reference(self):
+        from diffdope_tpu.geometry import matrix44_from_quat_trans
+
+        ns = _extract(["matrix_batch_44_from_position_quat"])
+        ref_fn = ns["matrix_batch_44_from_position_quat"]
+
+        q = _random_unit_quats(128, seed=0)
+        p = np.random.default_rng(1).normal(size=(128, 3)).astype(np.float32)
+        expected = ref_fn(torch.from_numpy(q), torch.from_numpy(p)).numpy()
+        got = np.asarray(matrix44_from_quat_trans(q, p))
+        np.testing.assert_allclose(got, expected, atol=2e-6)
+
+
+class TestCameraProjection:
+    @pytest.mark.parametrize(
+        "fx,fy,cx,cy,w,h,znear,zfar",
+        [
+            (2100.0, 2095.5, 949.9, 554.3, 1920, 1080, 0.01, 200.0),
+            (615.0, 616.1, 320.5, 239.6, 640, 480, 0.1, 50.0),
+            (480.0, 480.0, 200.0, 200.0, 400, 400, 0.01, 100.0),
+        ],
+    )
+    def test_matches_reference(self, fx, fy, cx, cy, w, h, znear, zfar):
+        from diffdope_tpu.geometry import projection_from_intrinsics
+
+        ns = _extract(["Camera"])
+        cam = ns["Camera"](fx=fx, fy=fy, cx=cx, cy=cy, im_width=w,
+                           im_height=h, znear=znear, zfar=zfar)
+        expected = cam.get_projection_matrix().numpy()
+        got = np.asarray(projection_from_intrinsics(fx, fy, cx, cy, w, h,
+                                                    znear, zfar))
+        np.testing.assert_allclose(got, expected, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+class _FakeDdope(types.SimpleNamespace):
+    """Just enough DiffDope surface for the reference loss functions."""
+
+    def add_loss_value(self, key, values):
+        self.logged[key] = values.numpy()
+
+
+def _loss_fixtures(seed=0, b=4, h=17, w=23):
+    rng = np.random.default_rng(seed)
+    renders = {
+        "rgb": rng.uniform(size=(b, h, w, 3)).astype(np.float32),
+        "depth": rng.uniform(size=(b, h, w)).astype(np.float32),
+        "mask": rng.uniform(size=(b, h, w, 3)).astype(np.float32),
+    }
+    gt = {
+        "rgb": rng.uniform(size=(h, w, 3)).astype(np.float32),
+        "depth": rng.uniform(size=(h, w)).astype(np.float32),
+        # reference passes the normalized float mask straight through
+        # (diffdope.py:553-556) — use non-binary values on purpose
+        "segmentation": rng.uniform(size=(h, w, 3)).astype(np.float32),
+    }
+    lrs = rng.uniform(0.01, 3.0, size=(b,)).astype(np.float32)
+    weights = {"rgb": 0.7, "depth": 1.3, "mask": 0.9}
+    return renders, gt, lrs, weights
+
+
+class TestLossParity:
+    @pytest.mark.parametrize(
+        "ours_name,ref_name,log_key",
+        [
+            ("l1_rgb_with_mask", "l1_rgb_with_mask", "rgb"),
+            ("l1_depth_with_mask", "l1_depth_with_mask", "depth"),
+            ("l1_mask", "l1_mask", "mask_selection"),
+        ],
+    )
+    def test_matches_reference(self, ours_name, ref_name, log_key):
+        from diffdope_tpu import losses as L
+
+        ns = _extract(["dist_batch_lr", ref_name])
+        renders, gt, lrs, weights = _loss_fixtures()
+
+        b = renders["rgb"].shape[0]
+        ddope = _FakeDdope(
+            renders={
+                "rgb": torch.from_numpy(renders["rgb"]),
+                "depth": torch.from_numpy(renders["depth"]),
+                "mask": torch.from_numpy(renders["mask"]),
+            },
+            gt_tensors={
+                "rgb": torch.from_numpy(np.broadcast_to(gt["rgb"], renders["rgb"].shape).copy()),
+                "depth": torch.from_numpy(np.broadcast_to(gt["depth"], renders["depth"].shape).copy()),
+                "segmentation": torch.from_numpy(np.broadcast_to(gt["segmentation"], renders["rgb"].shape).copy()),
+            },
+            learning_rates=torch.from_numpy(lrs),
+            cfg=types.SimpleNamespace(
+                losses=types.SimpleNamespace(
+                    weight_rgb=weights["rgb"],
+                    weight_depth=weights["depth"],
+                    weight_mask=weights["mask"],
+                )
+            ),
+            optimization_results=[{}],
+            batchsize=b,
+            logged={},
+        )
+        expected = float(ns[ref_name](ddope))
+        expected_log = ddope.logged[log_key]
+
+        term, (key, values) = L.LOSS_REGISTRY[ours_name](renders, gt, lrs, weights)
+        assert key == log_key
+        np.testing.assert_allclose(float(term), expected, rtol=2e-6)
+        np.testing.assert_allclose(np.asarray(values), expected_log, rtol=2e-5)
+
+
+class TestFindCropParity:
+    @pytest.mark.parametrize("seed", range(5))
+    def test_matches_reference(self, seed):
+        from diffdope_tpu.viz import find_crop
+
+        ns = _extract(["find_crop"])
+        rng = np.random.default_rng(seed)
+        img = np.zeros((60, 80, 3), np.float32)
+        r0, c0 = rng.integers(0, 40), rng.integers(0, 50)
+        rh, cw = rng.integers(3, 20), rng.integers(3, 25)
+        img[r0:r0 + rh, c0:c0 + cw] = rng.uniform(0.1, 1.0, size=(rh, cw, 3))
+        expected = [int(v) for v in ns["find_crop"](torch.from_numpy(img))]
+        got = find_crop(img)
+        assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# opencv -> opengl conversion (the "legacy" pyrr block)
+# ---------------------------------------------------------------------------
+
+def _std_quat_to_mat(q):
+    """Standard column-vector rotation matrix from (x, y, z, w)."""
+    x, y, z, w = q
+    n = x * x + y * y + z * z + w * w
+    s = 2.0 / n
+    return np.array([
+        [1 - s * (y * y + z * z), s * (x * y - z * w), s * (x * z + y * w)],
+        [s * (x * y + z * w), 1 - s * (x * x + z * z), s * (y * z - x * w)],
+        [s * (x * z - y * w), s * (y * z + x * w), 1 - s * (x * x + y * y)],
+    ])
+
+
+def _std_mat_to_quat(m):
+    """Standard column-vector matrix -> quaternion (x, y, z, w), w >= 0."""
+    t = np.trace(m)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        q = np.array([(m[2, 1] - m[1, 2]) / s, (m[0, 2] - m[2, 0]) / s,
+                      (m[1, 0] - m[0, 1]) / s, 0.25 * s])
+    else:
+        i = int(np.argmax(np.diag(m)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(1.0 + m[i, i] - m[j, j] - m[k, k]) * 2
+        q = np.zeros(4)
+        q[i] = 0.25 * s
+        q[j] = (m[j, i] + m[i, j]) / s
+        q[k] = (m[k, i] + m[i, k]) / s
+        q[3] = (m[k, j] - m[j, k]) / s
+    return q if q[3] >= 0 else -q
+
+
+def _hamilton(q1, q2):
+    """Hamilton product q1 then... composition R(q1 * q2) = R(q1) @ R(q2)."""
+    x1, y1, z1, w1 = q1
+    x2, y2, z2, w2 = q2
+    return np.array([
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+    ])
+
+
+def _make_mini_pyrr(angle_sign: int, mul_order: str):
+    """A minimal pyrr emulation, parameterized over its two genuinely
+    ambiguous conventions:
+
+    * angle_sign: sign of the angle in Quaternion.from_*_rotation (pyrr's
+      documented behavior rotates opposite to the right-hand rule: -1);
+    * mul_order: whether q1 * q2 composes as R(q1)@R(q2) ('left') or
+      R(q2)@R(q1) ('right').
+
+    pyrr's matrix44/matrix33 classes are row-major for row vectors, but the
+    reference treats `q.matrix44` / `Matrix44(m).quaternion` symmetrically
+    (build matrix from quat, set translation column, convert the rotation
+    block back), so a transposed matrix convention cancels between the two
+    calls for the rotation part; the sweep therefore only needs the two
+    knobs above.  (A transposed reading is equivalent to flipping both.)
+    """
+
+    class Quaternion:
+        def __init__(self, v):
+            if isinstance(v, Quaternion):
+                v = v.q
+            self.q = np.asarray(v, dtype=np.float64).reshape(4)
+
+        @classmethod
+        def from_x_rotation(cls, theta):
+            t = angle_sign * theta / 2.0
+            return cls([np.sin(t), 0.0, 0.0, np.cos(t)])
+
+        @classmethod
+        def from_y_rotation(cls, theta):
+            t = angle_sign * theta / 2.0
+            return cls([0.0, np.sin(t), 0.0, np.cos(t)])
+
+        @classmethod
+        def from_z_rotation(cls, theta):
+            t = angle_sign * theta / 2.0
+            return cls([0.0, 0.0, np.sin(t), np.cos(t)])
+
+        def __mul__(self, other):
+            a, b = self.q, Quaternion(other).q
+            if mul_order == "left":
+                return Quaternion(_hamilton(a, b))
+            return Quaternion(_hamilton(b, a))
+
+        def __getitem__(self, i):
+            return self.q[i]
+
+        @property
+        def matrix44(self):
+            m = np.eye(4)
+            m[:3, :3] = _std_quat_to_mat(self.q)
+            return m
+
+    class Matrix44:
+        def __init__(self, m):
+            self.m = np.asarray(m, dtype=np.float64).reshape(4, 4)
+
+        @property
+        def quaternion(self):
+            return Quaternion(_std_mat_to_quat(self.m[:3, :3]))
+
+    return types.SimpleNamespace(Quaternion=Quaternion, Matrix44=Matrix44)
+
+
+_READINGS = [(s, o) for s in (1, -1) for o in ("left", "right")]
+
+
+def _run_reference_conversion(reading, p, q):
+    mini = _make_mini_pyrr(*reading)
+    ns = _extract(["opencv_2_opengl"], extra_globals={"pyrr": mini})
+    p_out, q_out = ns["opencv_2_opengl"](np.asarray(p, float),
+                                         mini.Quaternion(q))
+    return np.asarray(p_out, float), _std_quat_to_mat(np.asarray(
+        [q_out[0], q_out[1], q_out[2], q_out[3]], float))
+
+
+class TestOpencvToOpenglParity:
+    F = np.diag([1.0, -1.0, -1.0])
+
+    def _random_poses(self, n, seed=3):
+        qs = _random_unit_quats(n, seed).astype(np.float64)
+        ts = np.random.default_rng(seed + 1).normal(size=(n, 3))
+        return qs, ts
+
+    def test_translation_matches_all_readings(self):
+        """t_gl = F @ t_cv regardless of pyrr conventions."""
+        from diffdope_tpu.geometry import opencv_to_opengl
+
+        qs, ts = self._random_poses(8)
+        for reading in _READINGS:
+            for q, t in zip(qs, ts):
+                p_ref, _ = _run_reference_conversion(reading, t, q)
+                p_ours, _ = opencv_to_opengl(t, q)
+                np.testing.assert_allclose(p_ours, p_ref, atol=1e-12)
+                np.testing.assert_allclose(p_ref, self.F @ t, atol=1e-12)
+
+    def test_structure_two_sided_constant(self):
+        """Every reading's composite rotation map is R -> A @ R @ B with
+        constant A, B — so one generic validated pose pins the map."""
+        qs, ts = self._random_poses(6)
+        for reading in _READINGS:
+            mats_in = [_std_quat_to_mat(q) for q in qs]
+            mats_out = [
+                _run_reference_conversion(reading, t, q)[1]
+                for q, t in zip(qs, ts)
+            ]
+            # From samples 0 and 1: A (R0 B) = M0 and A (R1 B) = M1 =>
+            # M1 @ M0^T = A R1 R0^T A^T.  Solve A from the eigen-structure
+            # is overkill — instead verify directly that
+            # A := M0 @ (R0 @ B)^T is consistent, sweeping B over the
+            # 180deg-axis candidates that arise from +-90deg products.
+            found = False
+            for bcand in _octahedral():
+                a = mats_out[0] @ (mats_in[0] @ bcand).T
+                if all(
+                    np.allclose(a @ r @ bcand, m, atol=1e-9)
+                    for r, m in zip(mats_in, mats_out)
+                ):
+                    found = True
+                    break
+            assert found, f"reading {reading} is not a constant two-sided map"
+
+    def test_validated_reading_equals_ours(self):
+        """The reading matching pyrr's documented semantics (negated
+        rotation angles, q1*q2 = apply q2 then q1 i.e. 'left') reproduces
+        geometry.opencv_to_opengl's F @ R @ F on random poses — the same
+        map the example-scene IoU calibration selected."""
+        from diffdope_tpu.geometry import opencv_to_opengl
+        from diffdope_tpu.geometry import matrix33_from_quat
+
+        qs, ts = self._random_poses(200, seed=11)
+        matching = []
+        for reading in _READINGS:
+            ok = True
+            for q, t in zip(qs[:20], ts[:20]):
+                _, r_ref = _run_reference_conversion(reading, t, q)
+                _, q_ours = opencv_to_opengl(t, q)
+                r_ours = np.asarray(matrix33_from_quat(q_ours.astype(np.float64)))
+                if not np.allclose(r_ours, r_ref, atol=1e-7):
+                    ok = False
+                    break
+            if ok:
+                matching.append(reading)
+        assert matching, (
+            "no pyrr reading reproduces F@R@F — geometry.opencv_to_opengl "
+            "disagrees with the reference formula under every convention"
+        )
+        # pyrr's documented semantics: negated angles, left-to-right
+        # composition; confirm that reading is among the matches and hold it
+        # to the full 200-pose sweep
+        assert (-1, "left") in matching, matching
+        from diffdope_tpu.geometry import opencv_to_opengl as conv
+
+        for q, t in zip(qs, ts):
+            _, r_ref = _run_reference_conversion((-1, "left"), t, q)
+            _, q_ours = conv(t, q)
+            r_ours = np.asarray(matrix33_from_quat(q_ours.astype(np.float64)))
+            # matrix33_from_quat computes in f32 — ulp-level slack
+            np.testing.assert_allclose(r_ours, r_ref, atol=5e-7)
+
+    def test_roundtrip_opengl_to_opencv(self):
+        from diffdope_tpu.geometry import (
+            matrix33_from_quat,
+            opencv_to_opengl,
+            opengl_to_opencv,
+        )
+
+        qs, ts = self._random_poses(32, seed=7)
+        for q, t in zip(qs, ts):
+            p_gl, q_gl = opencv_to_opengl(t, q)
+            m = np.eye(4)
+            m[:3, :3] = np.asarray(matrix33_from_quat(q_gl))
+            m[:3, 3] = p_gl
+            back = opengl_to_opencv(m)
+            np.testing.assert_allclose(
+                back[:3, :3], _std_quat_to_mat(q), atol=1e-6
+            )
+            np.testing.assert_allclose(back[:3, 3], t, atol=1e-12)
+
+
+def _octahedral():
+    """The 24 rotation matrices generated by +-90deg axis rotations."""
+    import itertools
+
+    def rot(axis, k):
+        c, s = [1, 0, -1, 0][k % 4], [0, 1, 0, -1][k % 4]
+        m = np.eye(3)
+        i, j = [(1, 2), (2, 0), (0, 1)][axis]
+        m[i, i] = c
+        m[j, j] = c
+        m[i, j] = -s
+        m[j, i] = s
+        return m
+
+    seen = {}
+    for kx, ky, kz in itertools.product(range(4), repeat=3):
+        m = rot(0, kx) @ rot(1, ky) @ rot(2, kz)
+        seen[np.round(m).astype(int).tobytes()] = np.round(m)
+    return list(seen.values())
