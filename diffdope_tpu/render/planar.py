@@ -110,6 +110,7 @@ def packed_planar(
         jnp.arange(t, dtype=det.dtype)[None, :], (b, t)
     )
     sil = _silhouette_planar(det, edge_adj)
+    ylo, yhi = _ybounds_ndc(cp, degenerate)
 
     lanes = [
         c0[0], c0[1], c0[2],
@@ -137,12 +138,50 @@ def packed_planar(
         for i in range(3):
             lanes.append(zr[0] * cs[0][i] + zr[1] * cs[1][i] + zr[2] * cs[2][i])
 
-    if len(lanes) > PACKED_WIDTH:
+    # lanes 30/31 carry the triangle's conservative NDC-y bounds for the
+    # raster kernel's per-(row, chunk) work gating (raster_v2).  They are
+    # control data: stop-gradient, and never read by shading/antialiasing,
+    # so their cotangents are exactly zero.
+    if len(lanes) > PACKED_WIDTH - 2:
         raise ValueError(f"too many packed lanes: {len(lanes)}")
-    while len(lanes) < PACKED_WIDTH:
+    while len(lanes) < PACKED_WIDTH - 2:
         lanes.append(jnp.zeros_like(det))
+    lanes.append(ylo)
+    lanes.append(yhi)
     lanes = [jnp.broadcast_to(p, (b, t)) for p in lanes]
     return jnp.stack(lanes, axis=1), det  # (B, 32, T)
+
+
+YLO_LANE = PACKED_WIDTH - 2  # 30
+YHI_LANE = PACKED_WIDTH - 1  # 31
+_Y_OPEN = 4.0  # beyond any pixel row's NDC y in (-1, 1)
+
+
+def _ybounds_ndc(cp: Dict[str, Array], degenerate: Optional[Array]):
+    """Per-triangle conservative NDC-y interval [ylo, yhi] (B, T).
+
+    A pixel center covered by the triangle has y strictly inside the corner
+    min/max, so gating rows outside the interval is exact.  Behind-camera
+    corners (w <= eps) open the interval to (-4, 4) (the kernel re-tests
+    coverage exactly); degenerate padding triangles get an empty interval.
+    """
+    eps = 1e-9
+    ys = jax.lax.stop_gradient(cp["y"])
+    ws = jax.lax.stop_gradient(cp["w"])
+    safe_w = jnp.where(jnp.abs(ws) > eps, ws, eps)
+    yn = ys / safe_w  # (B, 3T)
+    behind_c = ws <= eps
+    y = [_corner(yn, k) for k in range(3)]
+    bc = _corner(behind_c, 0) | _corner(behind_c, 1) | _corner(behind_c, 2)
+    ylo = jnp.minimum(jnp.minimum(y[0], y[1]), y[2])
+    yhi = jnp.maximum(jnp.maximum(y[0], y[1]), y[2])
+    ylo = jnp.where(bc, -_Y_OPEN, ylo)
+    yhi = jnp.where(bc, _Y_OPEN, yhi)
+    if degenerate is not None:
+        dg = degenerate[None, :]
+        ylo = jnp.where(dg, _Y_OPEN, ylo)
+        yhi = jnp.where(dg, -_Y_OPEN, yhi)
+    return ylo, yhi
 
 
 def _silhouette_planar(det: Array, edge_adj: Optional[Array]) -> Array:
@@ -166,11 +205,18 @@ def bin_triangles_planar(
     tile_hw: Tuple[int, int],
     max_tris_per_tile: int,
     margin_px: float = 0.0,
+    sort_by_y: bool = True,
 ) -> Tuple[Array, Array, Array]:
     """Conservative tile binning from corner planes (union over the batch).
 
     Same contract as setup_tris.bin_triangles but operating on planar
     (B, 3T) coordinates (no (…,3,4) corner tensor).
+
+    sort_by_y orders each tile's slot list by the triangle's minimum screen
+    y (union over the batch), so consecutive slots span nearby rows — this
+    makes the raster kernel's per-(row, chunk) y-gating effective (most
+    chunks of a sorted bin are inactive for most rows).  The kernel output
+    is order-independent (z-test with smallest-id tie break).
     """
     h, w = resolution
     th, tw = tile_hw
@@ -231,6 +277,16 @@ def bin_triangles_planar(
     counts_full = jnp.sum(mask, axis=-1).astype(jnp.int32)
     counts = jnp.minimum(counts_full, k)
     overflow = jnp.sum(jnp.maximum(counts_full - k, 0))
+    if sort_by_y:
+        # order slots by the triangle's min screen y (behind-camera first —
+        # they are row-unbounded; sentinels stay last)
+        key_t = jnp.where(behind, -jnp.inf, py_min)  # (T,)
+        keys = jnp.where(
+            idx < t_count,
+            jnp.take(key_t, jnp.minimum(idx, t_count - 1)),
+            jnp.inf,
+        )
+        _, idx = jax.lax.sort_key_val(keys, idx, dimension=1)
     # pad K to a multiple of the kernel chunk (sentinel columns, never read)
     k_pad = -(-k // 128) * 128
     if k_pad != k:

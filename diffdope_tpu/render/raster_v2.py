@@ -1,27 +1,35 @@
-"""Vectorized planar raster+gather kernel (v2).
+"""Vectorized planar raster+gather kernel (v2, y-gated).
 
 The v1 kernel walks each tile's bin list with a scalar per-triangle loop:
 ~14 scalar VMEM loads + a short-vector update per triangle, measured ~15x
 off the VPU bound (268 ms/step at bench scale).  v2 evaluates triangles
 VECTORIZED — pixels on sublanes, triangles on lanes:
 
-    per tile row r, per K-chunk:
+    per K-chunk (outer), per tile row r in the chunk's y range (inner):
       e_m(tw, kc) = X(tw,1) * a_m(1,kc) + (y_r * b_m(1,kc) + c_m(1,kc))
       z(tw, kc)   = zlin * inv_det
       zm          = where(covered & slot_ok, z, +inf)
-    zbest(tw,1)   = min over lanes+chunks          (depth test)
-    idbest(tw,1)  = min over lanes of ids where zm == zbest   (deterministic
+    zbest(tw,th)  = min over lanes+chunks          (depth test)
+    idbest(tw,th) = min over lanes of ids where zm == zbest   (deterministic
                     smallest-id tie break)
-    indicator(tw,kc) = (zm == zbest) & (id == idbest)          (exactly one)
+    indicator(tw,kc) = (id == idbest_col) & slot_ok            (exactly one:
+                    a triangle appears at most once per bin)
     rows(32,tw)  += chunk32(32,kc) @ indicator^T                (MXU gather)
+
+Work gating: bins are sorted by triangle y_min and each chunk carries a
+conservative pixel-row range (lanes 30/31 of the packed table, reduced per
+chunk in XLA, prefetched to SMEM), so both loops only touch the
+~(triangle-height / tile-height) fraction of (row, chunk) pairs that can
+contain coverage — the difference between evaluating every binned triangle
+against all 32 rows of its tile and only against its own few rows.
 
 Everything is planar: the packed table is (B, 32, T), bins (B, nt, 32, K),
 outputs ids (column-major (B, W, H), transposed once on host) and rows
 (B, 32, H, W) — no small minor dims, zero lane padding anywhere.
 
 The backward is the transposed indicator matmul per tile (d_bin(32, kc) =
-d_rows(32, tw) @ indicator(tw, kc)) followed by the inverted-bin per-triangle
-reduction — no scatter.
+d_rows(32, tw) @ indicator(tw, kc)) over the same gated row ranges, followed
+by the inverted-bin per-triangle reduction — no scatter.
 """
 
 from __future__ import annotations
@@ -45,10 +53,13 @@ _INF = jnp.inf
 
 
 def _pick_chunk(k: int) -> int:
-    """Largest chunk (multiple of 128, <= DD_KCHUNK cap) dividing K."""
+    """Largest chunk (multiple of 128, <= DD_KCHUNK cap) dividing K.
+
+    With y-gating, smaller chunks gate tighter (each chunk of a y-sorted
+    bin spans fewer rows); 256 measured best at bench scale."""
     import os
 
-    cap = int(os.environ.get("DD_KCHUNK", "1024"))
+    cap = int(os.environ.get("DD_KCHUNK", "256"))
     for c in (1024, 512, 384, 256, 128):
         if c <= cap and c <= k and k % c == 0:
             return c
@@ -56,17 +67,30 @@ def _pick_chunk(k: int) -> int:
 
 
 def _fwd_kernel_v2(
-    counts_ref, bins_ref, ids_ref, rows_ref, zm_scratch,
+    counts_ref, rlo_ref, rhi_ref, bins_ref, ids_ref, rows_ref,
     *, th, tw, ntx, h, w, k_chunk,
 ):
     """Vectorized forward: see module docstring.
 
+    Work gating: bins are sorted by triangle y_min
+    (planar.bin_triangles_planar sort_by_y) and rlo/rhi give each K-chunk's
+    conservative absolute pixel-row range (union over the batch).  Both
+    phases loop CHUNK-OUTER / ROW-INNER over just the chunk's contiguous
+    active row range — no per-(row, chunk) branches, and the chunk's lane
+    slices are loop-invariant hoisted.  Coverage is still re-tested exactly
+    per pixel, so gating never changes the output.
+
+    The per-row best-z / best-id state lives in a carried (tw, th) register
+    pair; column r is extracted / merged with lane-iota masks (single-lane
+    column reads/writes are not lowerable on TPU).
+
     counts_ref: SMEM (num_tiles,) int32.
+    rlo_ref/rhi_ref: SMEM (num_tiles, n_chunks) int32 absolute pixel-row
+                bounds per chunk (inclusive).
     bins_ref:   VMEM (1, 1, 32, K) planar bin rows (lane 13 = tri index).
     ids_ref:    VMEM (1, 1, tw, th) int32 out — column-major per tile
                 (array (B, nty, Wp, th); untangled on the host).
     rows_ref:   VMEM (1, 32, th, tw) f32 out.
-    zm_scratch: VMEM (tw, K) f32.
     """
     t = pl.program_id(1)
     count = counts_ref[t]
@@ -82,91 +106,124 @@ def _fwd_kernel_v2(
 
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, th), 1)
 
-    def row_body(r, ids_mat):
-        y_r = (2.0 * (y0 + r).astype(jnp.float32) + 1.0) / h - 1.0
+    def row_range(ci):
+        r_lo = jnp.clip(rlo_ref[t, ci] - y0, 0, th)
+        r_hi = jnp.clip(rhi_ref[t, ci] - y0 + 1, 0, th)
+        return r_lo, r_hi
 
-        # ---- phase A: z-test over all chunks, zm cached in scratch; the
-        # winning id is tracked in the same pass (smallest id among the
-        # chunk's zmin holders; strict < across chunks keeps ties
-        # deterministic toward the smaller chunk = smaller id, matching the
-        # reference scan order)
-        def chunk_a(ci, carry):
-            zbest, idbest = carry
-            base = pl.multiple_of(ci * k_chunk, 128)
-            c32 = bins_ref[0, 0, :, pl.ds(base, k_chunk)]  # (32, kc)
+    def col_get(mat, r):
+        """Column r of a (tw, th) value as (tw, 1) (others masked to 0)."""
+        return jnp.sum(
+            jnp.where(col_iota == r, mat, 0.0), axis=1, keepdims=True
+        )
 
-            def lane(j):
-                return c32[j:j + 1, :]  # (1, kc)
+    # ---- phase A: z-test; the winning id is tracked in the same pass
+    # (smallest id among the chunk's zmin holders; strict < across chunks
+    # keeps ties deterministic toward the smallest id regardless of order)
+    def chunk_a(ci, carry):
+        base = pl.multiple_of(ci * k_chunk, 128)
+        c32 = bins_ref[0, 0, :, pl.ds(base, k_chunk)]  # (32, kc)
 
-            e0 = xcol * lane(0) + (y_r * lane(1) + lane(2))
-            e1 = xcol * lane(3) + (y_r * lane(4) + lane(5))
-            e2 = xcol * lane(6) + (y_r * lane(7) + lane(8))
-            zlin = xcol * lane(9) + (y_r * lane(10) + lane(11))
-            det = lane(12)
-            sgn = jnp.sign(det)
-            # reciprocal once per triangle (1, kc) — a (tw, kc) divide costs
-            # ~10x a multiply on the VPU
-            inv_det = 1.0 / jnp.where(det != 0.0, det, 1.0)
-            covered = (e0 * sgn >= 0) & (e1 * sgn >= 0) & (e2 * sgn >= 0) & (det != 0)
+        def lane(j):
+            return c32[j:j + 1, :]  # (1, kc)
+
+        a0, b0, c0 = lane(0), lane(1), lane(2)
+        a1, b1, c1 = lane(3), lane(4), lane(5)
+        a2, b2, c2 = lane(6), lane(7), lane(8)
+        az, bz, cz = lane(9), lane(10), lane(11)
+        det = lane(12)
+        ids_f = lane(13)
+        sgn = jnp.sign(det)
+        # reciprocal once per triangle (1, kc) — a (tw, kc) divide costs
+        # ~10x a multiply on the VPU
+        inv_det = 1.0 / jnp.where(det != 0.0, det, 1.0)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1) + base
+        slot_ok = (slot < count) & (det != 0)
+        r_lo, r_hi = row_range(ci)
+
+        def row_body(r, carry2):
+            zb_mat, ib_mat = carry2
+            y_r = (2.0 * (y0 + r).astype(jnp.float32) + 1.0) / h - 1.0
+            e0 = xcol * a0 + (y_r * b0 + c0)
+            e1 = xcol * a1 + (y_r * b1 + c1)
+            e2 = xcol * a2 + (y_r * b2 + c2)
+            zlin = xcol * az + (y_r * bz + cz)
+            covered = (e0 * sgn >= 0) & (e1 * sgn >= 0) & (e2 * sgn >= 0)
             z = zlin * inv_det
-            slot = jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1) + base
-            ok = covered & (z >= -1.0) & (z <= 1.0) & (slot < count)
+            ok = covered & (z >= -1.0) & (z <= 1.0) & slot_ok
             zm = jnp.where(ok, z, _INF)  # (tw, kc)
-            zm_scratch[:, pl.ds(base, k_chunk)] = zm
             z_c = jnp.min(zm, axis=1, keepdims=True)  # (tw, 1)
-            ids_f = c32[13:14, :]
             id_c = jnp.min(
                 jnp.where(zm == z_c, ids_f, _BIG), axis=1, keepdims=True
             )
-            better = z_c < zbest
-            same = z_c == zbest
+            zb_col = col_get(zb_mat, r)
+            ib_col = col_get(ib_mat, r)
+            better = z_c < zb_col
+            # the finite-z guard keeps uncovered pixels (z_c == inf, which
+            # compares equal to the carried inf) from merging a junk id —
+            # so ib stays _BIG for background and phase C gathers nothing
+            same = (z_c == zb_col) & (z_c < _INF)
+            new_z = jnp.where(better, z_c, zb_col)
+            new_i = jnp.where(
+                better, id_c,
+                jnp.where(same, jnp.minimum(id_c, ib_col), ib_col),
+            )
+            sel = col_iota == r
             return (
-                jnp.where(better, z_c, zbest),
-                jnp.where(
-                    better, id_c,
-                    jnp.where(same, jnp.minimum(id_c, idbest), idbest),
-                ),
+                jnp.where(sel, new_z, zb_mat),
+                jnp.where(sel, new_i, ib_mat),
             )
 
-        zbest, idbest = jax.lax.fori_loop(
-            0, used, chunk_a,
-            (jnp.full((tw, 1), _INF, jnp.float32),
-             jnp.full((tw, 1), _BIG, jnp.float32)),
-        )
+        return jax.lax.fori_loop(r_lo, r_hi, row_body, carry)
 
-        # ---- phase C: one-hot row gather on the MXU
-        def chunk_c(ci, acc):
-            base = pl.multiple_of(ci * k_chunk, 128)
-            c32 = bins_ref[0, 0, :, pl.ds(base, k_chunk)]  # (32, kc)
-            ids_f = c32[13:14, :]
-            zm = zm_scratch[:, pl.ds(base, k_chunk)]
-            indicator = ((zm == zbest) & (ids_f == idbest)).astype(jnp.float32)
-            return acc + jax.lax.dot_general(
+    zb_mat, ib_mat = jax.lax.fori_loop(
+        0, used, chunk_a,
+        (jnp.full((tw, th), _INF, jnp.float32),
+         jnp.full((tw, th), _BIG, jnp.float32)),
+    )
+
+    # ---- phase C: one-hot row gather on the MXU.  Each triangle appears
+    # at most once per bin, so matching the winning id alone (masked to
+    # real slots) yields the exactly-one-hot indicator — no z recheck.
+    rows_ref[0] = jnp.zeros((PACKED_WIDTH, th, tw), jnp.float32)
+
+    def chunk_c(ci, _):
+        base = pl.multiple_of(ci * k_chunk, 128)
+        c32 = bins_ref[0, 0, :, pl.ds(base, k_chunk)]  # (32, kc)
+        ids_f = c32[13:14, :]
+        slot = jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1) + base
+        slot_ok = slot < count
+        r_lo, r_hi = row_range(ci)
+
+        def row_body(r, _):
+            ib_col = col_get(ib_mat, r)  # (tw, 1)
+            indicator = ((ids_f == ib_col) & slot_ok).astype(jnp.float32)
+            contrib = jax.lax.dot_general(
                 c32, indicator, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (32, tw)
+            rows_ref[0, :, r, :] = rows_ref[0, :, r, :] + contrib
+            return 0
 
-        acc = jax.lax.fori_loop(
-            0, used, chunk_c, jnp.zeros((PACKED_WIDTH, tw), jnp.float32)
-        )
+        return jax.lax.fori_loop(r_lo, r_hi, row_body, 0)
 
-        fgcol = zbest < _INF
-        ids_col = jnp.where(fgcol, idbest.astype(jnp.int32) + 1, 0)  # (tw, 1)
-        # single-lane-column writes are not lowerable; accumulate in regs
-        ids_mat = jnp.where(col_iota == r, ids_col, ids_mat)  # (tw, th)
-        rows_ref[0, :, r, :] = acc
-        return ids_mat
+    jax.lax.fori_loop(0, used, chunk_c, 0)
 
-    ids_mat = jax.lax.fori_loop(
-        0, th, row_body, jnp.zeros((tw, th), jnp.int32)
-    )
-    ids_ref[0, 0] = ids_mat
+    fg = ib_mat < _BIG
+    ids_ref[0, 0] = jnp.where(fg, ib_mat.astype(jnp.int32) + 1, 0)
 
 
 def _bwd_kernel_v2(
-    counts_ref, idscm_ref, tids_ref, drows_ref, out_ref, *, th, tw, k_chunk
+    counts_ref, rlo_ref, rhi_ref, idscm_ref, tids_ref, drows_ref, out_ref,
+    *, th, tw, ntx, k_chunk,
 ):
     """d_bin(32, kc) = sum_rows d_rows(32, tw) @ indicator(tw, kc).
+
+    Row gating: a pixel's winner lies in chunk ci only if the pixel row is
+    inside the chunk's conservative row range (a covered pixel row is always
+    within the triangle's y bounds), so each chunk only walks the contiguous
+    row range [rlo - y0, rhi - y0] — the same ~tile-height / triangle-height
+    work cut as the forward.
 
     tids_ref: VMEM (1, 8, K) f32 — bin triangle indices (8x sublane
     broadcast so a (1, kc) row slice is layout-legal).
@@ -175,11 +232,14 @@ def _bwd_kernel_v2(
     count = counts_ref[t]
     k_max = tids_ref.shape[2]
     n_chunks = k_max // k_chunk
-    used = jnp.minimum((count + k_chunk - 1) // k_chunk, n_chunks)
+    y0 = (t // ntx) * th
 
-    out_ref[0, 0] = jnp.zeros((PACKED_WIDTH, k_max), jnp.float32)
+    # NB: chunks >= used are left unwritten — every slot they hold is >=
+    # count, and the inverted-bin reduction only ever gathers real slots
+    # (< count), so their contents are never read.
     ids_mat = idscm_ref[0, 0]  # (tw, th)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, th), 1)
+    used = jnp.minimum((count + k_chunk - 1) // k_chunk, n_chunks)
 
     def chunk_body(ci, _):
         base = pl.multiple_of(ci * k_chunk, 128)
@@ -200,8 +260,11 @@ def _bwd_kernel_v2(
                 preferred_element_type=jnp.float32,
             )  # (32, kc)
 
+        r_lo = jnp.clip(rlo_ref[t, ci] - y0, 0, th)
+        r_hi = jnp.clip(rhi_ref[t, ci] - y0 + 1, 0, th)
         acc = jax.lax.fori_loop(
-            0, th, row_body, jnp.zeros((PACKED_WIDTH, k_chunk), jnp.float32)
+            r_lo, r_hi, row_body,
+            jnp.zeros((PACKED_WIDTH, k_chunk), jnp.float32),
         )
         out_ref[0, 0, :, pl.ds(base, k_chunk)] = acc
         return 0
@@ -213,7 +276,7 @@ def _bwd_kernel_v2(
 # public op
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def raster_gather_rows_v2(
     packed: Array,
     tile_idx: Array,
@@ -223,6 +286,7 @@ def raster_gather_rows_v2(
     resolution: Tuple[int, int],
     tile_hw: Tuple[int, int],
     interpret: bool = False,
+    gated: bool = True,
 ) -> Tuple[Array, Array]:
     """Planar vectorized rasterize + row gather.
 
@@ -230,12 +294,15 @@ def raster_gather_rows_v2(
         packed: (B, 32, T) planar packed table (render/planar.py).
         tile_idx/tile_counts: binning output.
         inv_pos/inv_valid: gather_rows.invert_bins output.
+        gated: per-(row, chunk) work gating from the y-bound lanes 30/31
+            written by planar.packed_planar.  Pass False for packed tables
+            without those lanes (disables gating; output is identical).
 
     Returns:
         ids (B, H, W) int32 (0 = background), rows (B, 32, H, W) planar.
     """
-    ids_cm, rows = _fwd_v2(
-        packed, tile_idx, tile_counts, resolution, tile_hw, interpret
+    ids_cm, rows, _, _ = _fwd_v2(
+        packed, tile_idx, tile_counts, resolution, tile_hw, interpret, gated
     )
     ids = _untangle_ids(ids_cm, resolution)
     rows = rows[:, :, : resolution[0], : resolution[1]]
@@ -261,7 +328,39 @@ def _bins_planar(packed, tile_idx):
     )  # (B, nt, 32, K)
 
 
-def _fwd_v2(packed, tile_idx, tile_counts, resolution, tile_hw, interpret):
+def _chunk_row_bounds(bins, tile_counts, k_chunk, h, gated):
+    """Per-chunk conservative absolute pixel-row ranges (num_tiles, nc) i32.
+
+    Union over the batch of the y-bound lanes (planar.YLO_LANE/YHI_LANE),
+    masked to real slots, then converted to pixel rows with one spare row
+    of slack on each side (gating must never cut a covered pixel)."""
+    b, num_tiles, width, k = bins.shape
+    nc = k // k_chunk
+    if not gated:
+        return (
+            jnp.zeros((num_tiles, nc), jnp.int32),
+            jnp.full((num_tiles, nc), h, jnp.int32),
+        )
+    slot_ok = (
+        jnp.arange(k, dtype=jnp.int32)[None, :] < tile_counts[:, None]
+    )  # (num_tiles, k)
+    big = jnp.float32(4.0)
+    ylo = jnp.min(
+        jnp.where(slot_ok[None], bins[:, :, PACKED_WIDTH - 2, :], big), axis=0
+    )
+    yhi = jnp.max(
+        jnp.where(slot_ok[None], bins[:, :, PACKED_WIDTH - 1, :], -big), axis=0
+    )
+    ylo = jnp.min(ylo.reshape(num_tiles, nc, k_chunk), axis=-1)
+    yhi = jnp.max(yhi.reshape(num_tiles, nc, k_chunk), axis=-1)
+    # pixel row r has NDC y = (2r+1)/h - 1; conservative by one row each way
+    rlo = jnp.floor((ylo + 1.0) * (h / 2.0) - 0.5).astype(jnp.int32) - 1
+    rhi = jnp.ceil((yhi + 1.0) * (h / 2.0) - 0.5).astype(jnp.int32) + 1
+    return jnp.clip(rlo, -1, h), jnp.clip(rhi, -1, h)
+
+
+def _fwd_v2(packed, tile_idx, tile_counts, resolution, tile_hw, interpret,
+            gated=True):
     b, width, t_count = packed.shape
     assert width == PACKED_WIDTH
     h, w = resolution
@@ -271,32 +370,32 @@ def _fwd_v2(packed, tile_idx, tile_counts, resolution, tile_hw, interpret):
     k_chunk = _pick_chunk(k)
 
     bins = _bins_planar(packed, tile_idx)
+    rlo, rhi = _chunk_row_bounds(bins, tile_counts, k_chunk, h, gated)
     kernel = functools.partial(
         _fwd_kernel_v2, th=th, tw=tw, ntx=ntx, h=h, w=w, k_chunk=k_chunk
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(b, num_tiles),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, PACKED_WIDTH, k),
-                lambda bi, ti, c: (bi, ti, 0, 0),
+                lambda bi, ti, c, rl, rh: (bi, ti, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
                 (1, 1, tw, th),
-                lambda bi, ti, c: (bi, ti // ntx, ti % ntx, 0),
+                lambda bi, ti, c, rl, rh: (bi, ti // ntx, ti % ntx, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, PACKED_WIDTH, th, tw),
-                lambda bi, ti, c: (bi, 0, ti // ntx, ti % ntx),
+                lambda bi, ti, c, rl, rh: (bi, 0, ti // ntx, ti % ntx),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        scratch_shapes=[pltpu.VMEM((tw, k), jnp.float32)],
     )
     ids_cm, rows = pl.pallas_call(
         kernel,
@@ -306,23 +405,25 @@ def _fwd_v2(packed, tile_idx, tile_counts, resolution, tile_hw, interpret):
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_counts, bins)
-    return ids_cm, rows
+    )(tile_counts, rlo, rhi, bins)
+    return ids_cm, rows, rlo, rhi
 
 
 def _vjp_fwd_v2(packed, tile_idx, tile_counts, inv_pos, inv_valid,
-                resolution, tile_hw, interpret=False):
-    ids_cm, rows = _fwd_v2(
-        packed, tile_idx, tile_counts, resolution, tile_hw, interpret
+                resolution, tile_hw, interpret=False, gated=True):
+    ids_cm, rows, rlo, rhi = _fwd_v2(
+        packed, tile_idx, tile_counts, resolution, tile_hw, interpret, gated
     )
     ids = _untangle_ids(ids_cm, resolution)
     rows_out = rows[:, :, : resolution[0], : resolution[1]]
-    res = (packed.shape, tile_idx, tile_counts, ids_cm, inv_pos, inv_valid)
+    res = (packed.shape, tile_idx, tile_counts, ids_cm, inv_pos, inv_valid,
+           rlo, rhi)
     return (ids, rows_out), res
 
 
-def _vjp_bwd_v2(resolution, tile_hw, interpret, res, cotangents):
-    packed_shape, tile_idx, tile_counts, ids_cm, inv_pos, inv_valid = res
+def _vjp_bwd_v2(resolution, tile_hw, interpret, gated, res, cotangents):
+    (packed_shape, tile_idx, tile_counts, ids_cm, inv_pos, inv_valid,
+     rlo, rhi) = res
     _, d_rows = cotangents
     b, width, t_count = packed_shape
     h, w = resolution
@@ -338,28 +439,30 @@ def _vjp_bwd_v2(resolution, tile_hw, interpret, res, cotangents):
     tri_f = jnp.minimum(tile_idx, t_count - 1).astype(jnp.float32)
     tids = jnp.broadcast_to(tri_f[:, None, :], (num_tiles, 8, k))
 
-    kernel = functools.partial(_bwd_kernel_v2, th=th, tw=tw, k_chunk=k_chunk)
+    kernel = functools.partial(
+        _bwd_kernel_v2, th=th, tw=tw, ntx=ntx, k_chunk=k_chunk
+    )
     bwd_grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(b, num_tiles),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, tw, th),
-                lambda bi, ti, c: (bi, ti // ntx, ti % ntx, 0),
+                lambda bi, ti, c, rl, rh: (bi, ti // ntx, ti % ntx, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 8, k), lambda bi, ti, c: (ti, 0, 0),
+                (1, 8, k), lambda bi, ti, c, rl, rh: (ti, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, PACKED_WIDTH, th, tw),
-                lambda bi, ti, c: (bi, 0, ti // ntx, ti % ntx),
+                lambda bi, ti, c, rl, rh: (bi, 0, ti // ntx, ti % ntx),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, PACKED_WIDTH, k), lambda bi, ti, c: (bi, ti, 0, 0),
+            (1, 1, PACKED_WIDTH, k), lambda bi, ti, c, rl, rh: (bi, ti, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -370,7 +473,7 @@ def _vjp_bwd_v2(resolution, tile_hw, interpret, res, cotangents):
         ),
         grid_spec=bwd_grid,
         interpret=interpret,
-    )(tile_counts, ids_cm, tids, d_rows_p)
+    )(tile_counts, rlo, rhi, ids_cm, tids, d_rows_p)
 
     # per-triangle reduction over its <=M tile occurrences (lane gathers)
     d_bin_flat = jnp.swapaxes(d_bin, 1, 2).reshape(b, width, num_tiles * k)
