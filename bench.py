@@ -66,12 +66,15 @@ def build_problem():
     import os
     tile_h = int(os.environ.get("DD_TILE_H", "32"))
     max_k = int(os.environ.get("DD_MAX_K", "2048"))
+    # NB: AlphabetSoup has ~8% inconsistently-wound visible faces — culling
+    # is wrong for it (validated); only enable for known-consistent meshes
+    cull = os.environ.get("DD_CULL", "0") == "1"
 
-    def render_fn(mtx, layout="channels"):
+    def render_fn(mtx, layout="channels", bins=None, max_occ=16):
         return render_batch(
             proj, mtx, pos, tri, RES, edge_adj=edge_adj,
             raster_impl="pallas", tile_hw=(tile_h, 128), max_tris_per_tile=max_k,
-            layout=layout,
+            layout=layout, cull_backfaces=cull, bins=bins, max_occ=max_occ,
             **kw,
         )
 
@@ -115,6 +118,34 @@ def build_problem():
     q0 = np.asarray(geo.quat_multiply(jnp.asarray(dq), jnp.asarray(q_gt)))
     t0 = t_gt + np.array([0.02, -0.015, 0.04])
     params0 = pose_params(q0.astype(np.float32), t0.astype(np.float32), BATCH)
+
+    # Per-step binning stays (it is cheap and margin-free: binning with a
+    # pose-drift margin inflates per-tile occupancy ~3x, which costs more in
+    # the kernels and the inverted-bin reduction than re-binning saves).
+    # The inverted-bin map width M is sized from the measured occupancy at
+    # the gt pose plus slack — the backward gather scales with B*32*T*M, so
+    # M=16 wastes ~3x when the real max is ~4.
+    from diffdope_tpu.render.gather_rows import bin_occupancy
+
+    @jax.jit
+    def _occ(q, t):
+        mtx_gt, _, _ = pose_matrix(pose_params(q, t, 1))
+        mvp = jnp.einsum("ij,bjk->bik", proj, mtx_gt, precision="highest")
+        pc = pos[tri.reshape(-1)][None]
+        cp = corner_planes(pc, mvp)
+        _, det = packed_planar(cp, None, None, None)
+        idx, _, _ = bin_triangles_planar(
+            cp, det, RES, (tile_h, 128), max_k, cull_backfaces=cull
+        )
+        return bin_occupancy(idx, tri.shape[0])
+
+    occ = int(_occ(jnp.asarray(q_gt, jnp.float32), jnp.asarray(t_gt, jnp.float32)))
+    max_occ = int(os.environ.get("DD_MAX_OCC", str(max(4, occ + 2))))
+    log(f"bin occupancy: max {occ} -> inverted-map M={max_occ}")
+    base_render = render_fn
+
+    def render_fn(mtx, layout="channels"):
+        return base_render(mtx, layout=layout, max_occ=max_occ)
 
     return render_fn, gt, params0
 

@@ -39,16 +39,36 @@ from diffdope_tpu.render.shade import PACKED_WIDTH
 Array = jax.Array
 
 
-def invert_bins(tile_idx: Array, t_count: int, max_occ: int = 16):
+def invert_bins(tile_idx: Array, t_count: int, max_occ=16):
     """Invert the (num_tiles, K) bin lists into per-triangle occurrence lists.
 
     Returns (inv_pos (T, M) int32 flat positions into (num_tiles*K),
-    inv_valid (T, M) bool).  Occurrences beyond M are dropped (a triangle
-    overlapping more than M tiles loses those gradient contributions; M=16
-    covers any reasonably tessellated object — pathological cases should
-    raise max_occ).
+    inv_valid (T, M) bool).
+
+    max_occ:
+      * 'auto' — size M to the ACTUAL maximum tile-occurrence count (exact:
+        no triangle ever loses backward contributions; also minimal, which
+        matters — the backward gathers B*32*T*M elements).  Requires a
+        concrete (non-traced) tile_idx, e.g. render.pipeline.precompute_bins
+        outside jit.
+      * int — fixed M for jit-traced binning.  A triangle occurring in more
+        than M tiles loses those gradient contributions; callers should
+        validate against real occupancy (see precompute_bins).
     """
     nt, k = tile_idx.shape
+    if isinstance(max_occ, str):
+        if max_occ != "auto":
+            raise ValueError(f"max_occ must be an int or 'auto': {max_occ!r}")
+        import jax.core
+
+        if isinstance(tile_idx, jax.core.Tracer):
+            raise ValueError(
+                "invert_bins(max_occ='auto') needs a concrete tile_idx — "
+                "call it outside jit (precompute_bins) or pass an int"
+            )
+        flat_np = np.asarray(tile_idx).reshape(-1)
+        occ = np.bincount(flat_np[flat_np < t_count], minlength=t_count)
+        max_occ = max(4, int(occ.max(initial=0)))
     flat = tile_idx.reshape(-1)  # values in [0, T] (T = sentinel)
     order = jnp.argsort(flat)
     sorted_vals = flat[order]
@@ -61,6 +81,22 @@ def invert_bins(tile_idx: Array, t_count: int, max_occ: int = 16):
     inv_pos = order[take].astype(jnp.int32)
     inv_valid = offs[None, :] < counts[:, None]
     return inv_pos, inv_valid
+
+
+def bin_occupancy(tile_idx: Array, t_count: int) -> Array:
+    """Maximum number of tile occurrences of any triangle (jit-compatible).
+
+    Callers using a fixed invert_bins max_occ should check (or size against)
+    this — occurrences beyond max_occ silently lose backward contributions.
+    """
+    flat = tile_idx.reshape(-1)
+    sorted_vals = jnp.sort(flat)
+    ar = jnp.arange(t_count, dtype=flat.dtype)
+    counts = (
+        jnp.searchsorted(sorted_vals, ar, side="right")
+        - jnp.searchsorted(sorted_vals, ar)
+    )
+    return jnp.max(counts)
 
 
 # ---------------------------------------------------------------------------

@@ -36,7 +36,7 @@ from diffdope_tpu.render.rasterize import (
     raster_ids_reference,
 )
 from diffdope_tpu.render.gather_rows import invert_bins, raster_gather_rows
-from diffdope_tpu.render.setup_tris import bin_triangles, triangle_setup_from_corners
+from diffdope_tpu.render.setup_tris import triangle_setup_from_corners
 from diffdope_tpu.render.shade import (
     antialias_rows,
     attribute_planes,
@@ -69,6 +69,8 @@ def render_batch(
     corner_colors: Optional[Array] = None,
     layout: str = "stacked",
     bins: Optional[Tuple[Array, Array, Array, Array]] = None,
+    cull_backfaces: bool = False,
+    max_occ: int = 16,
 ) -> Dict[str, Array]:
     """Render a mesh under B pose hypotheses.
 
@@ -185,9 +187,13 @@ def render_batch(
             idx, counts, inv_pos, inv_valid = bins
         else:
             idx, counts, _ = bin_triangles_planar(
-                cp, det, resolution, tile_hw, max_tris_per_tile
+                cp, det, resolution, tile_hw, max_tris_per_tile,
+                cull_backfaces=cull_backfaces,
             )
-            inv_pos, inv_valid = invert_bins(idx, t_count)
+            # the backward's inverted-bin gather scales with B*32*T*max_occ;
+            # size it from gather_rows.bin_occupancy (+drift slack) when the
+            # scene is known — occurrences beyond max_occ lose gradients
+            inv_pos, inv_valid = invert_bins(idx, t_count, max_occ)
         from diffdope_tpu.render.raster_v2 import raster_gather_rows_v2
 
         ids, rows = raster_gather_rows_v2(
@@ -274,34 +280,61 @@ def precompute_bins(
     tile_hw: Tuple[int, int] = (32, 128),
     max_tris_per_tile: int = 1024,
     margin_px: float = 24.0,
+    max_occ="auto",
+    cull_backfaces: bool = False,
 ):
     """One conservative binning (with pixel margin) for a whole refinement.
 
     The binning only has to be a *superset* of each triangle's touched
     tiles — the rasterizer re-tests coverage exactly — so binning once at
     the initial poses with a margin that covers the expected pose drift
-    replaces per-step re-binning (~15 ms/step at bench scale).  Increase
-    `margin_px` (or re-bin) for refinements expected to move further.
+    replaces per-step re-binning (binning + top_k + inversion every step).
+    Increase `margin_px` (or re-bin) for refinements expected to move
+    further.
+
+    Runs eagerly (outside jit): the inverted-bin map is sized to the exact
+    maximum tile-occurrence (max_occ='auto'), so no triangle ever loses
+    backward contributions, and bin overflow (dropped (tile, triangle)
+    pairs under max_tris_per_tile) raises instead of degrading silently.
 
     Returns (tile_idx, tile_counts, inv_pos, inv_valid) for
     render_batch(bins=...).
     """
+    from diffdope_tpu.render.planar import bin_triangles_planar, corner_planes, packed_planar
+
     if mtx0.ndim == 2:
         mtx0 = mtx0[None]
-    b = mtx0.shape[0]
     if proj_cam.ndim == 2:
         proj_cam = proj_cam[None]
-    mvp = jnp.einsum("...ij,...jk->...ik", proj_cam, mtx0, precision="highest")
     t_count = pos_idx.shape[0]
-    if pos.ndim == 2:
-        pos_c = pos[pos_idx.reshape(-1)][None]
-    else:
-        pos_c = jnp.take(pos, pos_idx.reshape(-1), axis=1)
-    corners = xfm_points(pos_c, mvp).reshape(b, t_count, 3, 4)
-    setup = triangle_setup_from_corners(corners)
-    idx, counts, _ = bin_triangles(
-        jax.lax.stop_gradient(corners), setup.det,
-        resolution, tile_hw, max_tris_per_tile, margin_px=margin_px,
-    )
-    inv_pos, inv_valid = invert_bins(idx, t_count)
-    return idx, counts, inv_pos, inv_valid
+
+    @jax.jit
+    def _bin(proj_cam, mtx0):
+        mvp = jnp.einsum(
+            "...ij,...jk->...ik", proj_cam, mtx0, precision="highest"
+        )
+        if pos.ndim == 2:
+            pos_c = pos[pos_idx.reshape(-1)][None]
+        else:
+            pos_c = jnp.take(pos, pos_idx.reshape(-1), axis=1)
+        cp = corner_planes(pos_c, mvp)
+        degenerate = (
+            (pos_idx[:, 0] == pos_idx[:, 1])
+            | (pos_idx[:, 1] == pos_idx[:, 2])
+            | (pos_idx[:, 2] == pos_idx[:, 0])
+        )
+        _, det = packed_planar(cp, None, None, None, degenerate)
+        return bin_triangles_planar(
+            cp, det, resolution, tile_hw, max_tris_per_tile,
+            margin_px=margin_px, cull_backfaces=cull_backfaces,
+        )
+
+    idx, counts, overflow = jax.device_get(_bin(proj_cam, mtx0))
+    if int(overflow) > 0:
+        raise ValueError(
+            f"bin overflow: {int(overflow)} (tile, triangle) pairs dropped "
+            f"at max_tris_per_tile={max_tris_per_tile} "
+            f"(max tile count {int(counts.max())}); raise max_tris_per_tile"
+        )
+    inv_pos, inv_valid = invert_bins(jnp.asarray(idx), t_count, max_occ)
+    return jnp.asarray(idx), jnp.asarray(counts), inv_pos, inv_valid

@@ -206,6 +206,7 @@ def bin_triangles_planar(
     max_tris_per_tile: int,
     margin_px: float = 0.0,
     sort_by_y: bool = True,
+    cull_backfaces: bool = False,
 ) -> Tuple[Array, Array, Array]:
     """Conservative tile binning from corner planes (union over the batch).
 
@@ -217,6 +218,13 @@ def bin_triangles_planar(
     makes the raster kernel's per-(row, chunk) y-gating effective (most
     chunks of a sorted bin are inactive for most rows).  The kernel output
     is order-independent (z-test with smallest-id tie break).
+
+    cull_backfaces drops triangles that are back-facing (det <= 0) in EVERY
+    hypothesis, roughly halving bin counts.  Only valid for closed meshes
+    with consistent outward (counter-clockwise) winding, where a back face
+    can never win the depth test against the front face along the same ray
+    (the reference's nvdiffrast rasterizes both windings, diffdope.py:198);
+    ids can differ at exact-tie silhouette grazing pixels.  Off by default.
     """
     h, w = resolution
     th, tw = tile_hw
@@ -246,6 +254,10 @@ def bin_triangles_planar(
         axis=0,
     )
     valid = jnp.any(det != 0.0, axis=0)
+    if cull_backfaces:
+        # behind-camera corners make the det sign meaningless — never cull
+        # those (the kernel re-tests coverage exactly anyway)
+        valid = valid & (jnp.any(det > 0.0, axis=0) | behind)
 
     tx_min = jnp.clip(jnp.floor(px_min / tw), 0, ntx - 1).astype(jnp.int32)
     tx_max = jnp.clip(jnp.floor(px_max / tw), 0, ntx - 1).astype(jnp.int32)

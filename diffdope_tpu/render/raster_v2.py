@@ -127,13 +127,18 @@ def _fwd_kernel_v2(
         def lane(j):
             return c32[j:j + 1, :]  # (1, kc)
 
-        a0, b0, c0 = lane(0), lane(1), lane(2)
-        a1, b1, c1 = lane(3), lane(4), lane(5)
-        a2, b2, c2 = lane(6), lane(7), lane(8)
-        az, bz, cz = lane(9), lane(10), lane(11)
         det = lane(12)
         ids_f = lane(13)
         sgn = jnp.sign(det)
+        # pre-scale the edge coefficients by sign(det) once per chunk
+        # ((1, kc) ops), saving three (tw, kc) multiplies per row: coverage
+        # becomes a plain e >= 0 test.  The rows gather (phase C) still
+        # reads the ORIGINAL c32, so downstream consumers see unscaled
+        # coefficients.
+        a0, b0, c0 = lane(0) * sgn, lane(1) * sgn, lane(2) * sgn
+        a1, b1, c1 = lane(3) * sgn, lane(4) * sgn, lane(5) * sgn
+        a2, b2, c2 = lane(6) * sgn, lane(7) * sgn, lane(8) * sgn
+        az, bz, cz = lane(9), lane(10), lane(11)
         # reciprocal once per triangle (1, kc) — a (tw, kc) divide costs
         # ~10x a multiply on the VPU
         inv_det = 1.0 / jnp.where(det != 0.0, det, 1.0)
@@ -148,7 +153,7 @@ def _fwd_kernel_v2(
             e1 = xcol * a1 + (y_r * b1 + c1)
             e2 = xcol * a2 + (y_r * b2 + c2)
             zlin = xcol * az + (y_r * bz + cz)
-            covered = (e0 * sgn >= 0) & (e1 * sgn >= 0) & (e2 * sgn >= 0)
+            covered = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
             z = zlin * inv_det
             ok = covered & (z >= -1.0) & (z <= 1.0) & slot_ok
             zm = jnp.where(ok, z, _INF)  # (tw, kc)
@@ -185,6 +190,9 @@ def _fwd_kernel_v2(
     # ---- phase C: one-hot row gather on the MXU.  Each triangle appears
     # at most once per bin, so matching the winning id alone (masked to
     # real slots) yields the exactly-one-hot indicator — no z recheck.
+    # (The zero-fill must stay unconditional: uninitialized VMEM can hold
+    # NaN bit patterns, and a NaN row — even one masked by ids == 0 —
+    # poisons the backward's 0 x NaN matmul products.)
     rows_ref[0] = jnp.zeros((PACKED_WIDTH, th, tw), jnp.float32)
 
     def chunk_c(ci, _):
@@ -353,9 +361,11 @@ def _chunk_row_bounds(bins, tile_counts, k_chunk, h, gated):
     )
     ylo = jnp.min(ylo.reshape(num_tiles, nc, k_chunk), axis=-1)
     yhi = jnp.max(yhi.reshape(num_tiles, nc, k_chunk), axis=-1)
-    # pixel row r has NDC y = (2r+1)/h - 1; conservative by one row each way
-    rlo = jnp.floor((ylo + 1.0) * (h / 2.0) - 0.5).astype(jnp.int32) - 1
-    rhi = jnp.ceil((yhi + 1.0) * (h / 2.0) - 0.5).astype(jnp.int32) + 1
+    # pixel row r has NDC y = (2r+1)/h - 1, so coverage implies
+    # r in [(ylo+1)h/2 - 1/2, (yhi+1)h/2 - 1/2]; half a row of slack absorbs
+    # the f32 rounding between this bound and the kernel's edge-sign tests
+    rlo = jnp.ceil((ylo + 1.0) * (h / 2.0) - 1.0).astype(jnp.int32)
+    rhi = jnp.floor((yhi + 1.0) * (h / 2.0)).astype(jnp.int32)
     return jnp.clip(rlo, -1, h), jnp.clip(rhi, -1, h)
 
 

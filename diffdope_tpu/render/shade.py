@@ -144,6 +144,7 @@ def shade_from_rows(
     resolution: Tuple[int, int],
     attr_channels: int = 0,
     stack_outputs: bool = True,
+    xy: Optional[Tuple[Array, Array]] = None,
 ) -> Dict[str, Array]:
     """Shading math on pre-gathered rows (see render/gather_rows.py for the
     fused Pallas producer).  Same returns as :func:`shade_rows`.
@@ -154,9 +155,13 @@ def shade_from_rows(
 
     stack_outputs=False keeps every per-pixel quantity as its own (B, H, W)
     array ('attrs_list' instead of 'attrs', no 'rast').
+
+    xy overrides the pixel NDC grids (broadcastable to (H, W)) — used by the
+    fused loss kernel to shade a TILE of the screen with its true screen
+    coordinates (render/fused_loss.py).
     """
     h, w = resolution
-    x, y = pixel_ndc(resolution, rows.dtype)
+    x, y = pixel_ndc(resolution, rows.dtype) if xy is None else xy
     fgf = ids > 0
     fg = fgf[..., None]
 
@@ -209,6 +214,7 @@ def antialias_rows(
     zw: Array,
     rows: Array,
     resolution: Tuple[int, int],
+    xy: Optional[Tuple[Array, Array]] = None,
 ) -> Array:
     """Silhouette-edge antialiasing using only the per-pixel rows.
 
@@ -221,9 +227,14 @@ def antialias_rows(
 
     `color` may be (B, H, W) single-channel (preferred on TPU — no lane
     padding) or (B, H, W, C) channels-last.
+
+    xy overrides the pixel NDC grids with true screen coordinates of shape
+    (H, W) when antialiasing a tile window (render/fused_loss.py).
     """
     has_c = color.ndim == 4
-    x, y = pixel_ndc(resolution, color.dtype)  # fused 2-D iotas
+    x, y = pixel_ndc(resolution, color.dtype) if xy is None else xy
+    x = jnp.broadcast_to(x, resolution)
+    y = jnp.broadcast_to(y, resolution)
 
     ids_ng = jax.lax.stop_gradient(ids)
     zw_ng = jax.lax.stop_gradient(zw)

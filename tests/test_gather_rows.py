@@ -100,3 +100,64 @@ class TestCustomVJP:
         g_plain = np.asarray(jax.grad(loss_plain)(packed))
         # matmul-accumulated backward vs scatter: f32 ordering noise only
         np.testing.assert_allclose(g_fused, g_plain, atol=1e-4)
+
+
+class TestInvertBinsSizing:
+    """VERDICT r1 item 7: occurrences beyond max_occ silently truncate
+    gradients; 'auto' must size to the exact occupancy."""
+
+    def _many_tile_scene(self):
+        """One triangle spanning every tile (4 x 4 grid > default slack)."""
+        import jax.numpy as jnp
+
+        # clip-space corners covering the full screen, w = 1
+        pos = jnp.asarray(
+            [[-3.0, -3.0, 0.2, 1.0], [3.0, -1.0, 0.2, 1.0], [0.0, 3.0, 0.2, 1.0]],
+            jnp.float32,
+        )[None]
+        tri = jnp.asarray([[0, 1, 2]], jnp.int32)
+        return pos, tri
+
+    def test_auto_sizes_to_exact_occupancy(self):
+        from diffdope_tpu.render.gather_rows import bin_occupancy
+
+        pos, tri = self._many_tile_scene()
+        setup = triangle_setup(pos, tri)
+        corners = pos[:, tri]
+        res, tile = (32, 512), (8, 128)
+        idx, counts, _ = bin_triangles(corners, setup.det, res, tile, 8)
+        occ = int(bin_occupancy(idx, 1))
+        assert occ == 16  # 4 tile rows x 4 tile cols
+        inv_pos, inv_valid = invert_bins(idx, 1, "auto")
+        assert inv_pos.shape[1] == occ
+        assert int(inv_valid.sum()) == occ
+
+    def test_gradient_not_truncated_with_auto(self):
+        """d(sum rows)/d(packed) over a 16-tile triangle: every tile's
+        contribution must arrive (fixed max_occ=8 would drop half)."""
+        pos, tri = self._many_tile_scene()
+        setup = triangle_setup(pos, tri)
+        corners = pos[:, tri]
+        res, tile = (32, 512), (8, 128)
+        idx, counts, _ = bin_triangles(corners, setup.det, res, tile, 8)
+        planes = jnp.zeros(setup.det.shape + (4, 3))
+        packed = pack_rows(setup, silhouette_bits(setup.det, None), planes)
+
+        def total(p, m):
+            inv_pos, inv_valid = invert_bins(idx, tri.shape[0], m)
+            _, rows = raster_gather_rows(
+                p, idx, counts, inv_pos, inv_valid, res, tile, True
+            )
+            return jnp.sum(rows[:, 12])  # det lane (planar rows (B,32,H,W))
+
+        g_full = jax.grad(lambda p: total(p, "auto"))(packed)
+        g_trunc = jax.grad(lambda p: total(p, 4))(packed)
+        # full gradient = covered pixel count on the det lane
+        ids, _ = raster_gather_rows(
+            packed, idx, counts, *invert_bins(idx, 1, "auto"), res, tile, True
+        )
+        n_fg = float((np.asarray(ids) > 0).sum())
+        assert n_fg > 0
+        np.testing.assert_allclose(float(g_full[0, 0, 12]), n_fg)
+        # the fixed-M path demonstrably loses contributions on this scene
+        assert float(g_trunc[0, 0, 12]) < n_fg
