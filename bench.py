@@ -147,7 +147,12 @@ def build_problem():
     def render_fn(mtx, layout="channels"):
         return base_render(mtx, layout=layout, max_occ=max_occ)
 
-    return render_fn, gt, params0
+    fused_ctx = dict(
+        proj=proj, pos=pos, tri=tri, edge_adj=edge_adj,
+        tile_hw=(tile_h, 128), max_k=max_k, cull=cull, max_occ=max_occ,
+        corner_colors=kw.get("corner_colors"), vtx_color=kw.get("vtx_color"),
+    )
+    return render_fn, gt, params0, fused_ctx
 
 
 def main():
@@ -159,17 +164,37 @@ def main():
     from diffdope_tpu.optimize import draw_learning_rates, refine, refine_segmented
 
     log(f"devices: {jax.devices()}")
-    render_fn, gt, params0 = build_problem()
+    render_fn, gt, params0, fused_ctx = build_problem()
     loss_fns, weights = select_losses(
         {"l1_mask": True, "weight_mask": 1.0, "l1_rgb_with_mask": True, "weight_rgb": 0.7}
     )
     lrs = draw_learning_rates(jax.random.PRNGKey(0), BATCH, (0.5, 4.0))
+
+    # fused shade+AA+loss kernel path (default): per-pixel images never
+    # touch HBM; DD_FUSED=0 falls back to render_batch + losses
+    import os
+    fused_fn = None
+    if os.environ.get("DD_FUSED", "1") == "1":
+        from diffdope_tpu.render.pipeline import make_fused_loss
+
+        fused_fn = make_fused_loss(
+            fused_ctx["proj"], fused_ctx["pos"], fused_ctx["tri"], RES,
+            gt, lrs, weights, use_rgb=True, use_depth=False, use_mask=True,
+            edge_adj=fused_ctx["edge_adj"],
+            corner_colors=fused_ctx["corner_colors"],
+            vtx_color=fused_ctx["vtx_color"],
+            tile_hw=fused_ctx["tile_hw"],
+            max_tris_per_tile=fused_ctx["max_k"],
+            cull_backfaces=fused_ctx["cull"], max_occ=fused_ctx["max_occ"],
+        )
+        log("loss path: fused kernel")
 
     jit_refine = jax.jit(
         functools.partial(
             refine, render_fn=render_fn, loss_fns=tuple(loss_fns),
             weights=weights, nb_iterations=STEPS - 1,
             base_lr=0.02, lr_decay=0.1, optimizer="adam",
+            fused_loss_fn=fused_fn,
         ),
         static_argnames=("num_steps",),
     )

@@ -87,11 +87,13 @@ def refine_bop_frame(
         path_img=str(scene_dir / "rgb" / f"{fr}.png"),
         path_depth=str(scene_dir / "depth" / f"{fr}.png")
         if (scene_dir / "depth" / f"{fr}.png").exists() else None,
+        # placeholder only (mirrors reference run_bop_scene.py:42); the real
+        # per-object mask is REQUIRED and swapped in below — a missing mask
+        # raises instead of silently fitting the photo as the segmentation
         path_segmentation=str(scene_dir / "rgb" / f"{fr}.png"),
         image_resize=resize,
     )
     if camera is None:
-        full_hw = [int(scene.get_resolution()[0] / resize), int(scene.get_resolution()[1] / resize)]
         camera = load_bop_camera(scene_dir, frame, scene.get_resolution(), resize)
     if camera is None:
         camera = Camera(**cfg.camera)
@@ -116,11 +118,19 @@ def refine_bop_frame(
             batchsize=int(cfg.hyperparameters.batchsize),
             mesh=mesh,
         )
+        # mask index = enumeration order, matching the reference
+        # (run_bop_scene.py:75) and the error-JSON extraction order
+        # (data/copy_data_here.py); the reference crashes on a missing file,
+        # so a hard error here preserves that contract
         mask_path = scene_dir / "mask_visib" / f"{fr}_{str(i_obj).zfill(6)}.png"
-        if mask_path.exists():
-            scene.tensor_segmentation = Image(
-                img_path=str(mask_path), img_resize=resize
+        if not mask_path.exists():
+            raise FileNotFoundError(
+                f"per-object visible mask missing: {mask_path} — refusing to "
+                "refine against the RGB placeholder segmentation"
             )
+        scene.tensor_segmentation = Image(
+            img_path=str(mask_path), img_resize=resize
+        )
 
         if ddope is None:
             ddope = DiffDope(cfg=cfg, camera=camera, object3d=pose, scene=scene)

@@ -329,8 +329,21 @@ class DiffDope:
             elif mesh.vtx_color is not None:
                 extra_params = {"vtx_color": jnp.asarray(mesh.vtx_color)}
 
+        mesh_axis = int(self.cfg.get("tpu", ConfigNode()).get("mesh_axis", 1))
+
         t0 = time.perf_counter()
-        if extra_params is not None:
+        if mesh_axis > 1:
+            # shard the hypothesis batch over the first `mesh_axis` devices
+            from diffdope_tpu.parallel import hypothesis_mesh, refine_sharded
+
+            result = refine_sharded(
+                params0, render_fn, tuple(self.loss_functions), gt,
+                self.learning_rates, self.loss_weights,
+                mesh=hypothesis_mesh(mesh_axis),
+                nb_iterations=self.nb_iterations, base_lr=self.base_lr,
+                lr_decay=self.lr_decay, optimizer=self.optimizer_name,
+            )
+        elif extra_params is not None:
             result = self._refine_jit(
                 params0, gt=gt, learning_rates=self.learning_rates,
                 extra_params=extra_params,
@@ -412,10 +425,22 @@ class DiffDope:
     ) -> np.ndarray:
         """Grid/overlay image of one optimization step (reference
         diffdope.py:1377-1486)."""
-        ri = self.cfg.get("render_images", ConfigNode())
         index = -1 if index is None else index
         entry = self.optimization_results[index]
-        gu = entry[render_selection]
+        return self._compose_overlay(
+            entry[render_selection], batch_index, render_selection
+        )
+
+    def _compose_overlay(
+        self,
+        gu: np.ndarray,
+        batch_index: Optional[int],
+        render_selection: str,
+        final_width: Optional[int] = None,
+    ) -> np.ndarray:
+        """Crop/overlay/contour compositing of rendered frames `gu`
+        ((B, H, W[, C]) numpy) against the scene ground truth."""
+        ri = self.cfg.get("render_images", ConfigNode())
         gt_map = {"rgb": "rgb", "depth": "depth", "mask": "segmentation"}
         gt = self.gt_tensors.get(gt_map.get(render_selection, render_selection))
 
@@ -449,7 +474,7 @@ class DiffDope:
             background=bg,
             alpha=float(ri.get("alpha_overlay", 0.7)),
             row=int(ri.get("nrow", 4)),
-            final_width=int(ri.get("final_width_batch", 2000)),
+            final_width=int(final_width or ri.get("final_width_batch", 2000)),
             add_background=bool(ri.get("add_background", True)),
             add_contour=bool(ri.get("add_countour", True)),
             color_contour=list(ri.get("color_countour", [0.46, 0.73, 0])),
@@ -461,14 +486,37 @@ class DiffDope:
         output_file_path: str = "animation.mp4",
         frame_rate: int = 10,
         batch_index: int = -1,
+        chunk: int = 16,
+        final_width: int = 800,
     ) -> None:
-        """Write the optimization as an mp4 (reference diffdope.py:1515-1552)."""
+        """Write the optimization as an mp4 (reference diffdope.py:1515-1552).
+
+        Only the selected hypothesis is rendered, `chunk` steps per device
+        call (the step axis rides the render's batch axis), and frames are
+        composited at `final_width` — seconds instead of minutes at the
+        default scale (the reference re-renders the full batch per frame)."""
         if batch_index == -1:
             batch_index = self.get_argmin()
+        n = 0 if self.mtx_history is None else self.mtx_history.shape[0]
+        if n == 0:
+            raise ValueError("run_optimization() before make_animation()")
+        poses = np.asarray(self.mtx_history[:, batch_index])  # (S, 4, 4)
+        if self._render_jit is None:
+            self._render_jit = jax.jit(self._make_render_fn(layout="stacked"))
 
         def frames():
-            for i in range(len(self.optimization_results)):
-                yield self.render_img(index=i, batch_index=batch_index)
+            for s in range(0, n, chunk):
+                mtxs = poses[s : s + chunk]
+                pad = chunk - mtxs.shape[0]  # keep shapes static: one trace
+                if pad:
+                    mtxs = np.concatenate(
+                        [mtxs, np.broadcast_to(mtxs[-1:], (pad, 4, 4))]
+                    )
+                rgb = np.asarray(self._render_jit(jnp.asarray(mtxs))["rgb"])
+                for i in range(min(chunk, n - s)):
+                    yield self._compose_overlay(
+                        rgb[i : i + 1], None, "rgb", final_width=final_width
+                    )
 
         viz.write_animation(frames(), output_file_path, frame_rate)
 

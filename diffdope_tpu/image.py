@@ -128,9 +128,10 @@ class Scene:
     def gt_arrays(self) -> dict:
         """Ground-truth arrays for the jitted loss: {'rgb','depth','segmentation'}.
 
-        Segmentation is binarized to {0,1} 3-channel float (the reference
-        loads the seg PNG as a normalized color image and multiplies with it;
-        gray masks behave identically)."""
+        Segmentation passes through as the normalized float mask (NOT
+        binarized), matching the reference, which loads the seg PNG as a
+        normalized color image and multiplies with it (diffdope.py:553-556);
+        a 2-channel gray mask is repeated to 3 channels."""
         out = {}
         if self.tensor_rgb is not None:
             out["rgb"] = self.tensor_rgb.img_tensor

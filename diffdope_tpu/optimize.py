@@ -111,6 +111,7 @@ def refine(
     extra_params: Optional[Dict[str, Array]] = None,
     opt_state: Any = None,
     num_steps: Optional[int] = None,
+    fused_loss_fn: Optional[Callable] = None,
 ) -> RefineResult:
     """Run the full refinement as one scan.  Jit-compatible; call under jit.
 
@@ -132,6 +133,10 @@ def refine(
         num_steps: run exactly this many steps instead of nb_iterations+1
             (for segmented execution; nb_iterations still shapes the LR
             schedule).
+        fused_loss_fn: optional ``fn(mtx) -> (total, logs)`` that replaces
+            render_fn + loss_fns with the fused render+loss kernel path
+            (pipeline.make_fused_loss) — same semantics, no per-pixel
+            images in HBM.  Mutually exclusive with extra_params.
 
     Returns:
         RefineResult with per-step pose history and loss logs.
@@ -149,8 +154,14 @@ def refine(
     # (pipeline.py): its AD residuals are the memory hogs, while the raster
     # kernel must NOT be re-run in the backward.
 
+    if fused_loss_fn is not None and extra_params:
+        raise ValueError("fused_loss_fn does not support extra_params")
+
     def loss_fn(params):
         mtx, _, _ = pose_matrix(params)
+        if fused_loss_fn is not None:
+            total, logs = fused_loss_fn(mtx)
+            return total, (logs, mtx)
         extra = {k: params[k] for k in extra_keys}
         renders = render_fn(mtx, **extra)
         total = jnp.float32(0.0)

@@ -1,0 +1,384 @@
+"""Fused shade + antialias + loss-reduction Pallas kernel.
+
+The unfused pipeline materializes every post-raster intermediate in HBM:
+the gathered rows (B, 32, H, W) are read by the XLA shade/antialias fusions,
+the antialiased mask / color / depth planes are written back, and the
+backward pass assembles an equally wide d_rows — measured ~100 ms/step of
+pure layout traffic at bench scale (B=64, 400x400).  But the refinement
+loop only ever consumes THREE SCALARS per hypothesis (the per-term L1
+means; reference loss semantics diffdope/diffdope.py:534-613) — the images
+themselves are only needed for visualization, which re-renders on demand.
+
+This kernel therefore computes the loss partial sums directly from the
+raster output, one (slab of rows) at a time, entirely in VMEM:
+
+    forward:  rows slab -> shade -> antialias -> |diff| masked sums
+              -> (B, n_slabs, [mask_sum, rgb_sum, depth_sum])
+    backward: re-shade the slab and pull the cotangent back with jax.vjp
+              *inside the kernel* -> d_rows slab.  The shade/AA/L1 math is
+              elementwise, so its VJP is elementwise too — Mosaic compiles
+              it like any other kernel body; no hand-written backward and
+              no HBM residuals beyond the raster outputs themselves.
+
+Slab halos: antialiasing couples vertically adjacent pixels, so a slab's
+loss rows need one neighbor row on each side, and a slab's d_rows needs two
+(its rows are touched by loss rows one further out).  Each kernel instance
+receives its slab plus the 2 boundary rows of both neighbor slabs (tiny
+side arrays; block index maps clamp at the image edges) and computes with
+a (hs + 4)-row window; the forward masks the loss sum to exactly its own
+rows, the backward masks to [own - 1, own + 1] rows and writes only the
+interior d_rows — every (loss row -> d row) contribution lands in exactly
+one slab's output.
+
+Padding: inputs stay in the raster kernel's tile-padded (Hp, Wp) layout
+(raster_v2 padded=True) — no slice/pad copies at either boundary.  The
+`valid` pair gating in shade.antialias_rows reproduces the reference's
+no-pair-past-the-image-edge semantics inside the padded window.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from diffdope_tpu.render.shade import antialias_rows, shade_from_rows
+
+Array = jax.Array
+
+#: lanes of the (B, 3) sums output: per-hypothesis L1 sums of
+#: mask (over 3 seg channels), rgb (seg-masked, 3 channels), depth
+MASK_LANE, RGB_LANE, DEPTH_LANE = 0, 1, 2
+
+
+def pick_slab_h(hp: int, target: int = 64) -> int:
+    """Largest divisor of the padded height <= target that is a multiple of
+    8 (Mosaic block second-minor constraint); hp itself when none exists."""
+    best = 0
+    for d in range(8, min(hp, target) + 1, 8):
+        if hp % d == 0:
+            best = d
+    return best if best else hp
+
+
+def _window_terms(
+    rows_w, ids_w, gt_w, dpl_w, x, y, valid, loss_mask, n_attr: int
+):
+    """Loss-term partial sums over one (hs+4)-row slab window (pure jnp).
+
+    rows_w (32, hw, Wp), ids_w (hw, Wp) i32, gt_w (6, hw, Wp) planes
+    [seg0..2, rgb0..2], dpl_w optional (hw, Wp) = gt_depth + t_z,
+    x (1, Wp) / y (hw, 1) NDC, valid/loss_mask (hw, Wp) bool.
+
+    Exact reference semantics (diffdope.py:547-613): every term is an L1,
+    rgb/depth masked by the gt segmentation; the depth term uses
+    |render_depth - gt| * seg0 = |attr_z + t_z + gt| * seg0 (render depth is
+    -(attr_z + t_z), diffdope.py:203-209), with t_z folded into dpl_w by the
+    caller so the kernel needs no per-hypothesis scalars.
+    """
+    ids4 = ids_w[None]
+    rows4 = rows_w[None]
+    res_w = ids_w.shape
+    shd = shade_from_rows(
+        ids4, rows4, res_w, attr_channels=n_attr, stack_outputs=False,
+        xy=(x, y),
+    )
+    fgm = (ids4 > 0).astype(rows_w.dtype)
+    aa = antialias_rows(
+        fgm, ids4, shd["zw"], rows4, res_w, xy=(x, y), valid=valid[None]
+    )[0]
+    lm = loss_mask.astype(rows_w.dtype)
+    attrs = shd["attrs_list"]
+
+    m_sum = jnp.float32(0.0)
+    r_sum = jnp.float32(0.0)
+    for c in range(3):
+        m_sum = m_sum + jnp.sum(jnp.abs(aa - gt_w[c]) * lm)
+        r_sum = r_sum + jnp.sum(
+            jnp.abs(attrs[c][0] - gt_w[3 + c]) * gt_w[c] * lm
+        )
+    if dpl_w is not None:
+        d_sum = jnp.sum(jnp.abs(attrs[n_attr - 1][0] + dpl_w) * gt_w[0] * lm)
+    else:
+        d_sum = jnp.float32(0.0)
+    return m_sum, r_sum, d_sum
+
+
+def _window_geometry(si, hs, h, w, wp):
+    """(x, y, valid, own) for the slab window starting at row si*hs - 2."""
+    hw = hs + 4
+    row_abs = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0) + (si * hs - 2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+    y = (2.0 * row_abs.astype(jnp.float32) + 1.0) / h - 1.0
+    x = (2.0 * col.astype(jnp.float32) + 1.0) / w - 1.0
+    valid = (row_abs >= 0) & (row_abs < h) & (col < w)
+    own = (row_abs >= si * hs) & (row_abs < si * hs + hs)
+    return x, y, valid, own
+
+
+def _assemble(ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, gt_t, gt_b,
+              dpl=None):
+    """Concatenate main slab + 2-row halos into (hs+4)-row windows."""
+    ids_w = jnp.concatenate([ids_t[0, 0], ids_m[0, 0], ids_b[0, 0]], axis=0)
+    rows_w = jnp.concatenate(
+        [rows_t[0, :, 0], rows_m[0], rows_b[0, :, 0]], axis=1
+    )
+    gt_w = jnp.concatenate([gt_t[:, 0], gt_m[...], gt_b[:, 0]], axis=1)
+    dpl_w = None
+    if dpl is not None:
+        dpl_m, dpl_t, dpl_b = dpl
+        dpl_w = jnp.concatenate(
+            [dpl_t[0, 0], dpl_m[0, 0], dpl_b[0, 0]], axis=0
+        )
+    return ids_w, rows_w, gt_w, dpl_w
+
+
+def _fwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth):
+    if with_depth:
+        (ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, gt_t, gt_b,
+         dpl_m, dpl_t, dpl_b, out_ref) = refs
+        dpl = (dpl_m, dpl_t, dpl_b)
+    else:
+        (ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, gt_t, gt_b,
+         out_ref) = refs
+        dpl = None
+    si = pl.program_id(1)
+    ids_w, rows_w, gt_w, dpl_w = _assemble(
+        ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, gt_t, gt_b, dpl
+    )
+    x, y, valid, own = _window_geometry(si, hs, h, w, wp)
+    m_sum, r_sum, d_sum = _window_terms(
+        rows_w, ids_w, gt_w, dpl_w, x, y, valid, valid & own, n_attr
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    out_ref[0, 0] = (
+        jnp.where(lane == MASK_LANE, m_sum, 0.0)
+        + jnp.where(lane == RGB_LANE, r_sum, 0.0)
+        + jnp.where(lane == DEPTH_LANE, d_sum, 0.0)
+    )
+
+
+def _bwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth):
+    if with_depth:
+        (ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, gt_t, gt_b,
+         dpl_m, dpl_t, dpl_b, dsum, d_rows_ref, d_dpl_ref) = refs
+        dpl = (dpl_m, dpl_t, dpl_b)
+    else:
+        (ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, gt_t, gt_b,
+         dsum, d_rows_ref) = refs
+        dpl = None
+    si = pl.program_id(1)
+    ids_w, rows_w, gt_w, dpl_w = _assemble(
+        ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, gt_t, gt_b, dpl
+    )
+    x, y, valid, own = _window_geometry(si, hs, h, w, wp)
+    # extended mask: the interior d_rows also receive contributions from the
+    # first loss row of each neighbor slab
+    hw = hs + 4
+    loc = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
+    ext = (loc >= 1) & (loc < hs + 3)
+    lm = valid & ext
+
+    # cotangent scalars extracted lane-safely (masked reduction instead of
+    # single-lane scalar loads, which Mosaic cannot lower)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    dvec = dsum[0, 0:1, :]  # (1, 128)
+
+    def _lane(k):
+        return jnp.sum(jnp.where(lane1 == k, dvec, 0.0))
+
+    dm, dr, dd = _lane(MASK_LANE), _lane(RGB_LANE), _lane(DEPTH_LANE)
+    if with_depth:
+        def f(rw, dw):
+            return _window_terms(rw, ids_w, gt_w, dw, x, y, valid, lm, n_attr)
+
+        _, pull = jax.vjp(f, rows_w, dpl_w)
+        d_rows_w, d_dpl_w = pull((dm, dr, dd))
+        d_dpl_ref[0] = d_dpl_w[2 : 2 + hs]
+    else:
+        def f(rw):
+            return _window_terms(
+                rw, ids_w, gt_w, None, x, y, valid, lm, n_attr
+            )
+
+        _, pull = jax.vjp(f, rows_w)
+        (d_rows_w,) = pull((dm, dr, dd))
+    d_rows_ref[0] = d_rows_w[:, 2 : 2 + hs, :]
+
+
+def _halo_arrays(rows, ids, gt6, dplane, hs):
+    """Per-slab 2-row boundary copies for the halo block inputs."""
+    b, width, hp, wp = rows.shape
+    ns = hp // hs
+    r4 = rows.reshape(b, width, ns, hs, wp)
+    rows_t = r4[:, :, :, hs - 2 :, :]   # slab i's LAST 2 rows
+    rows_b = r4[:, :, :, :2, :]         # slab i's FIRST 2 rows
+    i3 = ids.reshape(b, ns, hs, wp)
+    ids_t = i3[:, :, hs - 2 :, :]
+    ids_b = i3[:, :, :2, :]
+    g3 = gt6.reshape(6, ns, hs, wp)
+    gt_t = g3[:, :, hs - 2 :, :]
+    gt_b = g3[:, :, :2, :]
+    out = [ids_t, ids_b, rows_t, rows_b, gt_t, gt_b]
+    if dplane is not None:
+        d3 = dplane.reshape(b, ns, hs, wp)
+        out += [d3[:, :, hs - 2 :, :], d3[:, :, :2, :]]
+    return out
+
+
+def _specs(b, width, hs, wp, ns, with_depth):
+    """(in_specs for [ids x3, rows x3, gt x3, dpl x3?]) shared by fwd/bwd."""
+
+    def prev(si):
+        return jnp.maximum(si - 1, 0)
+
+    def nxt(si):
+        return jnp.minimum(si + 1, ns - 1)
+
+    specs = [
+        pl.BlockSpec((1, 1, hs, wp), lambda bi, si: (bi, si, 0, 0)),
+        pl.BlockSpec((1, 1, 2, wp), lambda bi, si: (bi, prev(si), 0, 0)),
+        pl.BlockSpec((1, 1, 2, wp), lambda bi, si: (bi, nxt(si), 0, 0)),
+        pl.BlockSpec((1, width, hs, wp), lambda bi, si: (bi, 0, si, 0)),
+        pl.BlockSpec(
+            (1, width, 1, 2, wp), lambda bi, si: (bi, 0, prev(si), 0, 0)
+        ),
+        pl.BlockSpec(
+            (1, width, 1, 2, wp), lambda bi, si: (bi, 0, nxt(si), 0, 0)
+        ),
+        pl.BlockSpec((6, hs, wp), lambda bi, si: (0, si, 0)),
+        pl.BlockSpec((6, 1, 2, wp), lambda bi, si: (0, prev(si), 0, 0)),
+        pl.BlockSpec((6, 1, 2, wp), lambda bi, si: (0, nxt(si), 0, 0)),
+    ]
+    if with_depth:
+        specs += [
+            pl.BlockSpec((1, 1, hs, wp), lambda bi, si: (bi, si, 0, 0)),
+            pl.BlockSpec((1, 1, 2, wp), lambda bi, si: (bi, prev(si), 0, 0)),
+            pl.BlockSpec((1, 1, 2, wp), lambda bi, si: (bi, nxt(si), 0, 0)),
+        ]
+    return specs
+
+
+def _operands(rows, ids, gt6, dplane, hs):
+    b, width, hp, wp = rows.shape
+    ns = hp // hs
+    halos = _halo_arrays(rows, ids, gt6, dplane, hs)
+    ids_r = ids.reshape(b, ns, hs, wp)
+    ids_t, ids_b, rows_t, rows_b, gt_t, gt_b = halos[:6]
+    ops = [
+        ids_r, ids_t, ids_b,
+        rows, rows_t, rows_b,
+        gt6, gt_t, gt_b,
+    ]
+    if dplane is not None:
+        dpl_t, dpl_b = halos[6:]
+        ops += [dplane.reshape(b, ns, hs, wp), dpl_t, dpl_b]
+    return ops, ns
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_loss_sums(
+    rows: Array,
+    ids: Array,
+    gt6: Array,
+    dplane: Optional[Array],
+    resolution: Tuple[int, int],
+    n_attr: int = 4,
+    interpret: bool = False,
+) -> Array:
+    """Per-hypothesis loss partial sums straight from the raster output.
+
+    Args:
+        rows: (B, 32, Hp, Wp) planar gathered rows (raster_v2 padded=True).
+        ids: (B, Hp, Wp) int32 triangle ids (+1; 0 = background).
+        gt6: (6, Hp, Wp) gt planes [seg0, seg1, seg2, rgb0, rgb1, rgb2],
+            zero-padded past (H, W).
+        dplane: None, or (B, Hp, Wp) = gt_depth + t_z per hypothesis (the
+            depth L1 |render - gt| * seg0 equals |attr_z + dplane| * seg0).
+        resolution: real (H, W) — pixels beyond are excluded exactly.
+        n_attr: attribute channels in the packed rows (color 3 + depth 1).
+
+    Returns:
+        (B, 3) float32: [mask_sum, rgb_sum, depth_sum] — raw L1 sums
+        (divide by pixel counts outside; see pipeline.make_fused_loss).
+    """
+    sums, _ = _fwd(rows, ids, gt6, dplane, resolution, n_attr, interpret)
+    return sums
+
+
+def _fwd(rows, ids, gt6, dplane, resolution, n_attr, interpret):
+    b, width, hp, wp = rows.shape
+    h, w = resolution
+    hs = pick_slab_h(hp)
+    ops, ns = _operands(rows, ids, gt6, dplane, hs)
+    with_depth = dplane is not None
+    kernel = functools.partial(
+        _fwd_kernel, hs=hs, h=h, w=w, wp=wp, n_attr=n_attr,
+        with_depth=with_depth,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, ns, 8, 128), jnp.float32),
+        grid=(b, ns),
+        in_specs=_specs(b, width, hs, wp, ns, with_depth),
+        out_specs=pl.BlockSpec((1, 1, 8, 128), lambda bi, si: (bi, si, 0, 0)),
+        interpret=interpret,
+    )(*ops)
+    return jnp.sum(out[:, :, 0, :3], axis=1), None
+
+
+def _vjp_fwd(rows, ids, gt6, dplane, resolution, n_attr, interpret):
+    sums, _ = _fwd(rows, ids, gt6, dplane, resolution, n_attr, interpret)
+    return sums, (rows, ids, gt6, dplane)
+
+
+def _vjp_bwd(resolution, n_attr, interpret, res, d_sums):
+    rows, ids, gt6, dplane = res
+    b, width, hp, wp = rows.shape
+    h, w = resolution
+    # smaller slabs than the forward: the in-kernel vjp roughly doubles the
+    # live window temps, and 32-row slabs measured right at the 16 MiB
+    # scoped-vmem ceiling at bench scale (W=512)
+    hs = pick_slab_h(hp, target=24)
+    ops, ns = _operands(rows, ids, gt6, dplane, hs)
+    with_depth = dplane is not None
+
+    d_pad = jnp.zeros((b, 8, 128), jnp.float32)
+    d_pad = d_pad.at[:, 0, :3].set(d_sums)
+
+    kernel = functools.partial(
+        _bwd_kernel, hs=hs, h=h, w=w, wp=wp, n_attr=n_attr,
+        with_depth=with_depth,
+    )
+    in_specs = _specs(b, width, hs, wp, ns, with_depth) + [
+        pl.BlockSpec((1, 8, 128), lambda bi, si: (bi, 0, 0)),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, width, hp, wp), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((1, width, hs, wp), lambda bi, si: (bi, 0, si, 0))
+    ]
+    if with_depth:
+        out_shape.append(jax.ShapeDtypeStruct((b, hp, wp), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, hs, wp), lambda bi, si: (bi, si, 0))
+        )
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        grid=(b, ns),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(*ops, d_pad)
+    d_rows = outs[0]
+    d_dpl = outs[1] if with_depth else None
+    d_ids = np.zeros(ids.shape, jax.dtypes.float0)
+    return (d_rows, d_ids, jnp.zeros_like(gt6), d_dpl)
+
+
+fused_loss_sums.defvjp(_vjp_fwd, _vjp_bwd)

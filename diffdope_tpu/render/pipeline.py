@@ -271,6 +271,142 @@ def render_batch(
     }
 
 
+def make_fused_loss(
+    proj_cam: Array,
+    pos: Array,
+    pos_idx: Array,
+    resolution: Tuple[int, int],
+    gt: Dict[str, Array],
+    learning_rates: Array,
+    weights: Dict[str, float],
+    use_rgb: bool = False,
+    use_depth: bool = False,
+    use_mask: bool = True,
+    edge_adj: Optional[Array] = None,
+    corner_colors: Optional[Array] = None,
+    vtx_color: Optional[Array] = None,
+    tile_hw: Tuple[int, int] = (32, 128),
+    max_tris_per_tile: int = 1024,
+    bins: Optional[Tuple[Array, Array, Array, Array]] = None,
+    cull_backfaces: bool = False,
+    max_occ: int = 16,
+):
+    """Build ``fn(mtx) -> (total_loss, logs)`` on the fused loss kernel.
+
+    The production fast path: raster (padded layout) -> fused
+    shade+antialias+L1 partial sums (render/fused_loss.py) — the wide
+    per-pixel images never exist in HBM.  Exact reference loss semantics
+    (losses.py / reference diffdope.py:534-613): per-term per-hypothesis
+    means, per-hypothesis learning-rate scaling, weighted total, and the
+    reference log keys in registration order (rgb, depth, mask_selection).
+
+    Covers the standard configuration (pallas raster + per-corner color
+    planes + the three reference losses); texture-sampled color or custom
+    loss functions use the unfused render_batch path instead.
+    """
+    from diffdope_tpu.render.fused_loss import fused_loss_sums
+    from diffdope_tpu.render.planar import (
+        bin_triangles_planar,
+        corner_planes,
+        packed_planar,
+    )
+
+    if proj_cam.ndim == 2:
+        proj_cam = proj_cam[None]
+    h, w = resolution
+    th, tw = tile_hw
+    nty, ntx = -(-h // th), -(-w // tw)
+    hp, wp = nty * th, ntx * tw
+    t_count = pos_idx.shape[0]
+    flat_idx = pos_idx.reshape(-1)
+    pos_c = pos[flat_idx][None] if pos.ndim == 2 else jnp.take(pos, flat_idx, axis=1)
+
+    if corner_colors is not None:
+        attr_corner_vals = corner_colors
+    elif vtx_color is not None:
+        attr_corner_vals = vtx_color[flat_idx].reshape(t_count, 3, 3)
+    else:
+        raise ValueError("fused loss requires corner_colors or vtx_color")
+    n_attr = attr_corner_vals.shape[-1] + 1
+
+    degenerate = (
+        (pos_idx[:, 0] == pos_idx[:, 1])
+        | (pos_idx[:, 1] == pos_idx[:, 2])
+        | (pos_idx[:, 2] == pos_idx[:, 0])
+    )
+
+    # ground-truth planes in the padded raster layout (closure constants)
+    def pad_plane(a):
+        return jnp.pad(jnp.asarray(a, jnp.float32), ((0, hp - h), (0, wp - w)))
+
+    seg = gt.get("segmentation")
+    if seg is None:
+        raise ValueError("fused loss requires gt['segmentation']")
+    rgb_gt = gt.get("rgb")
+    planes = [pad_plane(seg[..., c]) for c in range(3)]
+    if rgb_gt is not None:
+        planes += [pad_plane(rgb_gt[..., c]) for c in range(3)]
+    else:
+        planes += [jnp.zeros((hp, wp), jnp.float32)] * 3
+    gt6 = jnp.stack(planes, axis=0)
+    gtd_p = pad_plane(gt["depth"]) if use_depth else None
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    npx = float(h * w)
+
+    def fn(mtx):
+        if mtx.ndim == 2:
+            mtx = mtx[None]
+        mvp = jnp.einsum(
+            "...ij,...jk->...ik", proj_cam, mtx, precision="highest"
+        )
+        cp = corner_planes(pos_c, mvp)
+        zrot = jnp.einsum(
+            "...j,...nj->...n", mtx[..., 2, :3], pos_c, precision="highest"
+        )
+        packed_pl, det = packed_planar(
+            cp, attr_corner_vals, zrot, edge_adj, degenerate
+        )
+        if bins is not None:
+            idx, counts, inv_pos, inv_valid = bins
+        else:
+            idx, counts, _ = bin_triangles_planar(
+                cp, det, resolution, tile_hw, max_tris_per_tile,
+                cull_backfaces=cull_backfaces,
+            )
+            inv_pos, inv_valid = invert_bins(idx, t_count, max_occ)
+        from diffdope_tpu.render.raster_v2 import raster_gather_rows_v2
+
+        ids, rows = raster_gather_rows_v2(
+            packed_pl, idx, counts, inv_pos, inv_valid,
+            tuple(resolution), tuple(tile_hw), interpret, True, True,
+        )
+        dplane = None
+        if use_depth:
+            dplane = gtd_p[None] + mtx[..., 2, 3][:, None, None]
+        sums = fused_loss_sums(
+            rows, ids, gt6, dplane, tuple(resolution), n_attr, interpret
+        )
+
+        total = jnp.float32(0.0)
+        logs = {}
+        if use_rgb:
+            per_hyp = sums[:, 1] / (3.0 * npx)  # RGB_LANE
+            total = total + jnp.mean(per_hyp * learning_rates) * weights["rgb"]
+            logs["rgb"] = per_hyp * weights["rgb"]
+        if use_depth:
+            per_hyp = sums[:, 2] / npx
+            total = total + jnp.mean(per_hyp * learning_rates) * weights["depth"]
+            logs["depth"] = per_hyp * weights["depth"]
+        if use_mask:
+            per_hyp = sums[:, 0] / (3.0 * npx)
+            total = total + jnp.mean(per_hyp * learning_rates) * weights["mask"]
+            logs["mask_selection"] = per_hyp * weights["mask"]
+        return total, logs
+
+    return fn
+
+
 def precompute_bins(
     proj_cam: Array,
     mtx0: Array,

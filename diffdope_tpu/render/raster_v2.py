@@ -284,7 +284,7 @@ def _bwd_kernel_v2(
 # public op
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def raster_gather_rows_v2(
     packed: Array,
     tile_idx: Array,
@@ -295,6 +295,7 @@ def raster_gather_rows_v2(
     tile_hw: Tuple[int, int],
     interpret: bool = False,
     gated: bool = True,
+    padded: bool = False,
 ) -> Tuple[Array, Array]:
     """Planar vectorized rasterize + row gather.
 
@@ -305,24 +306,33 @@ def raster_gather_rows_v2(
         gated: per-(row, chunk) work gating from the y-bound lanes 30/31
             written by planar.packed_planar.  Pass False for packed tables
             without those lanes (disables gating; output is identical).
+        padded: return the raw tile-padded layout (Hp, Wp) = tile-rounded
+            (H, W) instead of slicing to `resolution` — pixels past the
+            image edge are background (ids 0, rows 0).  The fused loss
+            kernel consumes this directly, so no slice (forward) or pad
+            (backward) copies are spent at the kernel boundary.
 
     Returns:
-        ids (B, H, W) int32 (0 = background), rows (B, 32, H, W) planar.
+        ids (B, H, W) int32 (0 = background), rows (B, 32, H, W) planar
+        (padded=True: (B, Hp, Wp) / (B, 32, Hp, Wp)).
     """
     ids_cm, rows, _, _ = _fwd_v2(
         packed, tile_idx, tile_counts, resolution, tile_hw, interpret, gated
     )
-    ids = _untangle_ids(ids_cm, resolution)
-    rows = rows[:, :, : resolution[0], : resolution[1]]
+    ids = _untangle_ids(ids_cm, resolution, padded)
+    if not padded:
+        rows = rows[:, :, : resolution[0], : resolution[1]]
     ids = jax.ad_checkpoint.checkpoint_name(ids, "raster_ids")
     rows = jax.ad_checkpoint.checkpoint_name(rows, "raster_rows")
     return ids, rows
 
 
-def _untangle_ids(ids_cm, resolution):
-    """(B, nty, Wp, th) column-major tiles -> (B, H, W)."""
+def _untangle_ids(ids_cm, resolution, padded: bool = False):
+    """(B, nty, Wp, th) column-major tiles -> (B, H, W) (or (B, Hp, Wp))."""
     b, nty, wp, th = ids_cm.shape
     ids = jnp.swapaxes(ids_cm, 2, 3).reshape(b, nty * th, wp)
+    if padded:
+        return ids
     return ids[:, : resolution[0], : resolution[1]]
 
 
@@ -420,18 +430,20 @@ def _fwd_v2(packed, tile_idx, tile_counts, resolution, tile_hw, interpret,
 
 
 def _vjp_fwd_v2(packed, tile_idx, tile_counts, inv_pos, inv_valid,
-                resolution, tile_hw, interpret=False, gated=True):
+                resolution, tile_hw, interpret=False, gated=True,
+                padded=False):
     ids_cm, rows, rlo, rhi = _fwd_v2(
         packed, tile_idx, tile_counts, resolution, tile_hw, interpret, gated
     )
-    ids = _untangle_ids(ids_cm, resolution)
-    rows_out = rows[:, :, : resolution[0], : resolution[1]]
+    ids = _untangle_ids(ids_cm, resolution, padded)
+    rows_out = rows if padded else rows[:, :, : resolution[0], : resolution[1]]
     res = (packed.shape, tile_idx, tile_counts, ids_cm, inv_pos, inv_valid,
            rlo, rhi)
     return (ids, rows_out), res
 
 
-def _vjp_bwd_v2(resolution, tile_hw, interpret, gated, res, cotangents):
+def _vjp_bwd_v2(resolution, tile_hw, interpret, gated, padded, res,
+                cotangents):
     (packed_shape, tile_idx, tile_counts, ids_cm, inv_pos, inv_valid,
      rlo, rhi) = res
     _, d_rows = cotangents
@@ -442,9 +454,12 @@ def _vjp_bwd_v2(resolution, tile_hw, interpret, gated, res, cotangents):
     num_tiles, k = tile_idx.shape
     k_chunk = _pick_chunk(k)
 
-    d_rows_p = jnp.pad(
-        d_rows, ((0, 0), (0, 0), (0, nty * th - h), (0, ntx * tw - w))
-    )
+    if padded:
+        d_rows_p = d_rows
+    else:
+        d_rows_p = jnp.pad(
+            d_rows, ((0, 0), (0, 0), (0, nty * th - h), (0, ntx * tw - w))
+        )
     # bin triangle indices as a small float table (shared across batch)
     tri_f = jnp.minimum(tile_idx, t_count - 1).astype(jnp.float32)
     tids = jnp.broadcast_to(tri_f[:, None, :], (num_tiles, 8, k))

@@ -215,6 +215,7 @@ def antialias_rows(
     rows: Array,
     resolution: Tuple[int, int],
     xy: Optional[Tuple[Array, Array]] = None,
+    valid: Optional[Array] = None,
 ) -> Array:
     """Silhouette-edge antialiasing using only the per-pixel rows.
 
@@ -230,6 +231,11 @@ def antialias_rows(
 
     xy overrides the pixel NDC grids with true screen coordinates of shape
     (H, W) when antialiasing a tile window (render/fused_loss.py).
+
+    valid optionally marks real image pixels ((B, H, W) or broadcastable
+    bool); a pair is active only when BOTH pixels are valid — this is how a
+    padded window (raster layout padding, slab halos) reproduces the
+    no-pair-past-the-image-edge semantics of the full-image call.
     """
     has_c = color.ndim == 4
     x, y = pixel_ndc(resolution, color.dtype) if xy is None else xy
@@ -238,11 +244,22 @@ def antialias_rows(
 
     ids_ng = jax.lax.stop_gradient(ids)
     zw_ng = jax.lax.stop_gradient(zw)
+    valid_b = None
+    if valid is not None:
+        # keep the mask float through shape ops: Mosaic cannot relayout
+        # i1 vectors (slice/broadcast of bools fails in-kernel)
+        valid_b = jnp.broadcast_to(
+            valid.astype(color.dtype), ids_ng.shape
+        )
 
     def pad_img(a, axis, side):
-        widths = [(0, 0)] * a.ndim
-        widths[axis] = (1, 0) if side == "front" else (0, 1)
-        return jnp.pad(a, widths)
+        # explicit zero-strip concat (NOT jnp.pad: Mosaic's in-kernel pad
+        # lowering rejects these shapes)
+        shape = list(a.shape)
+        shape[axis] = 1
+        z = jnp.zeros(shape, a.dtype)
+        parts = (z, a) if side == "front" else (a, z)
+        return jnp.concatenate(parts, axis=axis)
 
     # horizontal pairs
     d_a, d_b = _aa_pairs_rows(
@@ -250,9 +267,13 @@ def antialias_rows(
         ids_ng[:, :, :-1], ids_ng[:, :, 1:],
         zw_ng[:, :, :-1], zw_ng[:, :, 1:],
         rows[..., :-1], rows[..., 1:],
-        along=x[None, :, :-1], along_next=x[None, :, 1:],
-        across=y[None, :, :-1],
+        # slice THEN add the batch axis: mixing None with slices in one
+        # index lowers to a gather, which Mosaic can't lower in-kernel
+        along=x[:, :-1][None], along_next=x[:, 1:][None],
+        across=y[:, :-1][None],
         horizontal=True,
+        pair_valid=None if valid_b is None
+        else valid_b[:, :, :-1] * valid_b[:, :, 1:],
     )
     delta = pad_img(d_a, 2, "back") + pad_img(d_b, 2, "front")
 
@@ -262,9 +283,11 @@ def antialias_rows(
         ids_ng[:, :-1, :], ids_ng[:, 1:, :],
         zw_ng[:, :-1, :], zw_ng[:, 1:, :],
         rows[:, :, :-1, :], rows[:, :, 1:, :],
-        along=y[None, :-1, :], along_next=y[None, 1:, :],
-        across=x[None, :-1, :],
+        along=y[:-1, :][None], along_next=y[1:, :][None],
+        across=x[:-1, :][None],
         horizontal=False,
+        pair_valid=None if valid_b is None
+        else valid_b[:, :-1, :] * valid_b[:, 1:, :],
     )
     delta = delta + pad_img(d_t, 1, "back") + pad_img(d_bt, 1, "front")
     return color + delta
@@ -273,10 +296,17 @@ def antialias_rows(
 def _aa_pairs_rows(
     c_a, c_b, id_a, id_b, zw_a, zw_b, rows_a, rows_b,
     along, along_next, across, horizontal: bool,
+    pair_valid=None,
 ):
     differ = id_a != id_b
     fg_is_a = (id_a > 0) & ((id_b == 0) | (zw_a <= zw_b))
-    active = differ & jnp.where(fg_is_a, id_a > 0, id_b > 0)
+    # pure logic, NOT jnp.where on bools: a select_n with i1 operands makes
+    # Mosaic extend to i8 and truncate back, which it cannot compile
+    active = differ & (
+        (fg_is_a & (id_a > 0)) | (~fg_is_a & (id_b > 0))
+    )
+    if pair_valid is not None:
+        active = active & (pair_valid > 0.5)
 
     def lane(k):
         """fg pixel's packed lane k, selected per plane (no wide temps)."""
@@ -287,8 +317,10 @@ def _aa_pairs_rows(
     seg = along_next - along  # 2/W or 2/H, > 0
 
     # running reductions over the 3 edge lines — NO size-3 minor-dim stacks
-    # (a channels-last f32[...,3] temp pays 42x lane padding on TPU)
-    any_valid = jnp.zeros(active.shape, bool)
+    # (a channels-last f32[...,3] temp pays 42x lane padding on TPU).
+    # Boolean accumulators start as None, not jnp.zeros(..., bool): wide i1
+    # constants lower to an i8->i1 truncation Mosaic cannot compile
+    any_valid = None
     lam_min = jnp.full(active.shape, jnp.inf, rows_a.dtype)
     lam_max = jnp.full(active.shape, -jnp.inf, rows_a.dtype)
     det_sign = jnp.sign(lane(12))
@@ -308,7 +340,7 @@ def _aa_pairs_rows(
 
         # endpoint check: the other two barycentric lines must be
         # nonnegative (w.r.t. facing) at the crossing point
-        on_edge = jnp.ones(active.shape, bool)
+        on_edge = None
         for j in range(3):
             if j == m:
                 continue
@@ -319,16 +351,18 @@ def _aa_pairs_rows(
                 ej = aj * cross_pos + bj * across + cj
             else:
                 ej = aj * across + bj * cross_pos + cj
-            on_edge = on_edge & (ej * det_sign >= 0.0)
+            cond = ej * det_sign >= 0.0
+            on_edge = cond if on_edge is None else (on_edge & cond)
 
         valid = (
             active
             & (jnp.abs(denom) > _EPS)
             & on_edge
             & (lam >= 0.0) & (lam <= 1.0)
-            & ((sil >> m) & 1).astype(bool)
+            & (((sil >> m) & 1) != 0)  # NOT astype(bool): int->i1
+            # truncation is unsupported by Mosaic in-kernel
         )
-        any_valid = any_valid | valid
+        any_valid = valid if any_valid is None else (any_valid | valid)
         lam_min = jnp.where(valid & (lam < lam_min), lam, lam_min)
         lam_max = jnp.where(valid & (lam > lam_max), lam, lam_max)
 

@@ -1,0 +1,183 @@
+"""Fused shade+AA+loss kernel vs the unfused render_batch + losses path.
+
+The fused path (render/fused_loss.py + pipeline.make_fused_loss) must
+reproduce the unfused pipeline's loss values, per-term logs, and pose
+gradients exactly (both implement the reference semantics,
+diffdope/diffdope.py:534-613); it differs only in where the math runs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from diffdope_tpu import geometry as geo
+from diffdope_tpu.losses import select_losses
+from diffdope_tpu.mesh import build_edge_adjacency
+from diffdope_tpu.optimize import pose_matrix, pose_params, refine
+from diffdope_tpu.render.pipeline import make_fused_loss, render_batch
+from diffdope_tpu.testing import icosphere
+
+RES = (64, 96)
+B = 3
+
+
+@pytest.fixture(scope="module")
+def scene():
+    h, w = RES
+    f = 1.2 * max(h, w)
+    proj = jnp.asarray(
+        geo.projection_from_intrinsics(f, f, w / 2, h / 2, w, h, 0.01, 100.0),
+        jnp.float32,
+    )
+    v, fc = icosphere(2)  # 320 tris
+    pos = jnp.asarray(v.astype(np.float32) * 0.4)
+    tri = jnp.asarray(fc.astype(np.int32))
+    edge_adj = jnp.asarray(build_edge_adjacency(np.asarray(fc)))
+    vtx_color = jnp.asarray((v * 0.5 + 0.5).astype(np.float32))
+
+    q_gt = geo.quat_from_axis_angle(np.array([0.2, 1.0, 0.1]), 0.8)
+    t_gt = np.array([0.0, 0.0, -2.0], np.float32)
+    mtx_gt, _, _ = pose_matrix(pose_params(np.asarray(q_gt, np.float32), t_gt, 1))
+
+    def render_fn(mtx, layout="channels"):
+        return render_batch(
+            proj, mtx, pos, tri, RES, vtx_color=vtx_color, edge_adj=edge_adj,
+            raster_impl="pallas", layout=layout, max_tris_per_tile=512,
+        )
+
+    gt_r = jax.jit(lambda m: render_fn(m, layout="stacked"))(mtx_gt)
+    gt = {
+        "rgb": gt_r["rgb"][0],
+        "segmentation": gt_r["mask"][0],
+        "depth": gt_r["depth"][0],
+    }
+
+    dq = geo.quat_from_axis_angle(np.array([0.5, -0.2, 0.9]), np.deg2rad(10.0))
+    q0 = np.asarray(geo.quat_multiply(jnp.asarray(dq), jnp.asarray(q_gt)), np.float32)
+    t0 = t_gt + np.array([0.03, -0.02, 0.05], np.float32)
+    params0 = pose_params(q0, t0, B)
+    params0 = {k: val + jnp.arange(B) * 0.01 for k, val in params0.items()}
+
+    return dict(
+        proj=proj, pos=pos, tri=tri, edge_adj=edge_adj, vtx_color=vtx_color,
+        render_fn=render_fn, gt=gt, params0=params0,
+    )
+
+
+def _loss_setup(scene, cfg):
+    loss_fns, weights = select_losses(cfg)
+    lrs = jnp.asarray([1.0, 2.0, 0.5], jnp.float32)
+
+    def unfused(params):
+        mtx, _, _ = pose_matrix(params)
+        renders = scene["render_fn"](mtx)
+        total = jnp.float32(0.0)
+        logs = {}
+        for fn in loss_fns:
+            term, (key, vals) = fn(renders, scene["gt"], lrs, weights)
+            total = total + term
+            logs[key] = vals
+        return total, logs
+
+    fused_fn = make_fused_loss(
+        scene["proj"], scene["pos"], scene["tri"], RES, scene["gt"], lrs,
+        weights,
+        use_rgb=bool(cfg.get("l1_rgb_with_mask")),
+        use_depth=bool(cfg.get("l1_depth_with_mask")),
+        use_mask=bool(cfg.get("l1_mask")),
+        edge_adj=scene["edge_adj"], vtx_color=scene["vtx_color"],
+        max_tris_per_tile=512,
+    )
+
+    def fused(params):
+        mtx, _, _ = pose_matrix(params)
+        return fused_fn(mtx)
+
+    return unfused, fused, lrs, weights, loss_fns
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        {"l1_mask": True, "weight_mask": 1.0},
+        {
+            "l1_mask": True, "weight_mask": 1.0,
+            "l1_rgb_with_mask": True, "weight_rgb": 0.7,
+            "l1_depth_with_mask": True, "weight_depth": 0.9,
+        },
+    ],
+    ids=["mask_only", "all_terms"],
+)
+def test_fused_matches_unfused(scene, cfg):
+    unfused, fused, _, _, _ = _loss_setup(scene, cfg)
+    p = scene["params0"]
+    (tu, logs_u), gu = jax.jit(jax.value_and_grad(unfused, has_aux=True))(p)
+    (tf, logs_f), gf = jax.jit(jax.value_and_grad(fused, has_aux=True))(p)
+
+    assert set(logs_u) == set(logs_f)
+    np.testing.assert_allclose(tu, tf, rtol=1e-5, atol=1e-7)
+    for k in logs_u:
+        np.testing.assert_allclose(
+            np.asarray(logs_u[k]), np.asarray(logs_f[k]), rtol=1e-5,
+            atol=1e-7, err_msg=f"log {k}",
+        )
+    for k in gu:
+        np.testing.assert_allclose(
+            np.asarray(gu[k]), np.asarray(gf[k]), rtol=2e-4, atol=1e-6,
+            err_msg=f"grad {k}",
+        )
+
+
+def test_refine_with_fused_loss(scene):
+    """refine(fused_loss_fn=...) produces the same trajectory as unfused."""
+    cfg = {
+        "l1_mask": True, "weight_mask": 1.0,
+        "l1_rgb_with_mask": True, "weight_rgb": 0.7,
+    }
+    unfused, fused, lrs, weights, loss_fns = _loss_setup(scene, cfg)
+
+    import functools
+
+    common = dict(
+        gt=scene["gt"], learning_rates=lrs,
+        opt_state=None, num_steps=4,
+    )
+    ref = jax.jit(
+        functools.partial(
+            refine, render_fn=scene["render_fn"], loss_fns=tuple(loss_fns),
+            weights=weights, nb_iterations=3, base_lr=0.02, lr_decay=0.1,
+            optimizer="adam",
+        ),
+        static_argnames=("num_steps",),
+    )(scene["params0"], **common)
+    fused_loss_fn = make_fused_loss(
+        scene["proj"], scene["pos"], scene["tri"], RES, scene["gt"], lrs,
+        weights, use_rgb=True, use_depth=False, use_mask=True,
+        edge_adj=scene["edge_adj"], vtx_color=scene["vtx_color"],
+        max_tris_per_tile=512,
+    )
+    fus = jax.jit(
+        functools.partial(
+            refine, render_fn=scene["render_fn"], loss_fns=tuple(loss_fns),
+            weights=weights, nb_iterations=3, base_lr=0.02, lr_decay=0.1,
+            optimizer="adam", fused_loss_fn=fused_loss_fn,
+        ),
+        static_argnames=("num_steps",),
+    )(scene["params0"], **common)
+
+    np.testing.assert_allclose(
+        np.asarray(ref.total_loss), np.asarray(fus.total_loss),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref.mtx_history), np.asarray(fus.mtx_history),
+        rtol=1e-4, atol=1e-5,
+    )
+    for k in ref.losses_values:
+        np.testing.assert_allclose(
+            np.asarray(ref.losses_values[k]),
+            np.asarray(fus.losses_values[k]),
+            rtol=1e-4, atol=1e-6, err_msg=k,
+        )

@@ -28,17 +28,35 @@ def main():
     from diffdope_tpu.optimize import draw_learning_rates, refine
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
-    render_fn, gt, params0 = bench.build_problem()
+    render_fn, gt, params0, fused_ctx = bench.build_problem()
     loss_fns, weights = select_losses(
         {"l1_mask": True, "weight_mask": 1.0, "l1_rgb_with_mask": True, "weight_rgb": 0.7}
     )
     lrs = draw_learning_rates(jax.random.PRNGKey(0), bench.BATCH, (0.5, 4.0))
+
+    import os
+    fused_fn = None
+    if os.environ.get("DD_FUSED", "1") == "1":
+        from diffdope_tpu.render.pipeline import make_fused_loss
+
+        fused_fn = make_fused_loss(
+            fused_ctx["proj"], fused_ctx["pos"], fused_ctx["tri"], bench.RES,
+            gt, lrs, weights, use_rgb=True, use_depth=False, use_mask=True,
+            edge_adj=fused_ctx["edge_adj"],
+            corner_colors=fused_ctx["corner_colors"],
+            vtx_color=fused_ctx["vtx_color"],
+            tile_hw=fused_ctx["tile_hw"],
+            max_tris_per_tile=fused_ctx["max_k"],
+            cull_backfaces=fused_ctx["cull"], max_occ=fused_ctx["max_occ"],
+        )
+        print("loss path: fused kernel", file=sys.stderr)
 
     jit_refine = jax.jit(
         functools.partial(
             refine, render_fn=render_fn, loss_fns=tuple(loss_fns),
             weights=weights, nb_iterations=bench.STEPS - 1,
             base_lr=0.02, lr_decay=0.1, optimizer="adam",
+            fused_loss_fn=fused_fn,
         ),
         static_argnames=("num_steps",),
     )
