@@ -199,10 +199,16 @@ def main():
         static_argnames=("num_steps",),
     )
 
+    # one device dispatch for all 100 steps: ~12s execution is comfortably
+    # under the ~60s single-execution watchdog, and each extra segment costs
+    # ~0.9s of tunnel dispatch overhead
+    segment = int(os.environ.get("DD_SEGMENT", "100"))
+
     def run(p):
         return refine_segmented(
             p, render_fn, loss_fns, gt, lrs, weights,
-            nb_iterations=STEPS - 1, segment_steps=40, jit_refine=jit_refine,
+            nb_iterations=STEPS - 1, segment_steps=segment,
+            jit_refine=jit_refine,
         )
 
     # compile + warm up

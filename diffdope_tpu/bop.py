@@ -32,6 +32,307 @@ from diffdope_tpu.object3d import Object3D
 log = logging.getLogger(__name__)
 
 
+PERTURBATION_LEVELS = (
+    "deg_001_trans_001", "deg_010_trans_004", "deg_040_trans_016",
+)
+
+
+def parse_level(level: str):
+    """'deg_010_trans_004' -> (10.0 degrees, 4.0 mm)."""
+    parts = level.split("_")
+    return float(parts[1]), float(parts[3])
+
+
+def find_error_scenes(data_root, dataset: str):
+    """[(scene_id, {level: json_path})] under the bundled perturbation data
+    (reference data/{hope,ycbv,tless}/**/scene_error_*.json)."""
+    root = Path(data_root) / dataset
+    out = []
+    for split_dir in sorted(root.iterdir()):
+        if not split_dir.is_dir():
+            continue
+        for scene_dir in sorted(split_dir.iterdir()):
+            levels = {}
+            for lv in PERTURBATION_LEVELS:
+                p = scene_dir / f"scene_error_{lv}.json"
+                if p.exists():
+                    levels[lv] = p
+            if levels:
+                out.append((f"{split_dir.name}/{scene_dir.name}", levels))
+    return out
+
+
+def sweep_perturbation_levels(
+    data_root="/root/reference/data",
+    dataset: str = "hope",
+    levels=None,
+    max_scenes: int = 1,
+    max_frames: int = 1,
+    max_objects: int = 3,
+    batchsize: int = 16,
+    nb_iterations: int = 40,
+    resolution=(160, 160),
+    obj_scale: float = 0.01,
+    mesh_path: str = "/root/reference/data/example/mesh/AlphabetSoup.ply",
+    bop_root=None,
+    models_dir=None,
+    cfg: Optional[ConfigNode] = None,
+    seed: int = 0,
+    shard=(0, 1),
+    log_fn=print,
+) -> Dict[str, dict]:
+    """Sweep the bundled perturbation JSONs and aggregate ADD(-S)/AUC.
+
+    The reference's eval protocol (SURVEY.md section 6): 3 perturbation
+    levels x {HOPE val, YCB-V test, T-LESS primesense} scenes, per-frame
+    perturbed poses {cam_R_m2c, cam_t_m2c, obj_id}
+    (data/copy_data_here.py:8-17).  Two modes:
+
+    * bop_root given: real BOP images/masks/meshes; the JSON pose is the
+      refinement INIT and scene_gt.json provides the ground truth (the
+      reference's run_bop_scene.py flow + metrics).
+    * bop_root None (the repo ships only the JSONs): SYNTHESIZED protocol —
+      the JSON pose is treated as ground truth, its image is rendered with
+      the stand-in mesh, and the init is drawn by perturbing with the
+      level's own magnitudes (deg_010_trans_004 -> 10 deg, 4 mm).  Results
+      are honest refinement accuracy for the level's error scale, with the
+      caveat that geometry is the stand-in mesh, and are labeled
+      'synthesized'.
+
+    Multi-host: shard=(i, n) processes every n-th scene starting at i —
+    scene-level sweeps are embarrassingly parallel (SURVEY.md section 2.4);
+    merge the per-host JSON outputs to aggregate.
+
+    Returns {level: {'n', 'add_mean', 'add_med', 'acc_01d', 'auc_01d',
+                     'mode', 'per_object': [...]}}.
+    """
+    import numpy as np
+
+    from diffdope_tpu.metrics import add_auc
+
+    levels = list(levels or PERTURBATION_LEVELS)
+    scenes = find_error_scenes(data_root, dataset)
+    scenes = scenes[shard[0] :: shard[1]][:max_scenes]
+    if not scenes:
+        raise FileNotFoundError(f"no perturbation JSONs under {data_root}/{dataset}")
+
+    results: Dict[str, dict] = {}
+    mesh_cache: Dict[int, Mesh] = {}
+    for level in levels:
+        per_object = []
+        for scene_id, level_paths in scenes:
+            if level not in level_paths:
+                continue
+            with open(level_paths[level]) as f:
+                frames = json.load(f)
+            for frame in sorted(frames, key=lambda s: int(s))[:max_frames]:
+                objs = frames[frame][:max_objects] if max_objects else frames[frame]
+                if bop_root is not None:
+                    per_object.extend(_sweep_real_frame(
+                        cfg, bop_root, models_dir, dataset, scene_id, frame,
+                        objs, obj_scale, mesh_cache,
+                    ))
+                else:
+                    per_object.extend(_sweep_synth_objects(
+                        objs, level, scene_id, frame, mesh_path, obj_scale,
+                        resolution, batchsize, nb_iterations, seed, log_fn,
+                    ))
+        adds = np.asarray([o["add"] for o in per_object], float)
+        dias = np.asarray([o["diameter"] for o in per_object], float)
+        norm = adds / np.maximum(dias, 1e-9)
+        results[level] = {
+            "n": len(per_object),
+            "mode": "real" if bop_root is not None else "synthesized",
+            "add_mean": float(adds.mean()) if len(adds) else float("nan"),
+            "add_med": float(np.median(adds)) if len(adds) else float("nan"),
+            "acc_01d": float((norm < 0.1).mean()) if len(adds) else float("nan"),
+            "auc_01d": add_auc(norm, 0.1) if len(adds) else float("nan"),
+            "per_object": per_object,
+        }
+        log_fn(
+            f"[{level}] n={results[level]['n']} "
+            f"ADD mean={results[level]['add_mean']:.4f} "
+            f"med={results[level]['add_med']:.4f} "
+            f"acc@0.1d={results[level]['acc_01d']:.3f} "
+            f"AUC@0.1d={results[level]['auc_01d']:.3f}"
+        )
+    return results
+
+
+def _sweep_real_frame(cfg, bop_root, models_dir, dataset, scene_id, frame,
+                      objs, obj_scale, mesh_cache):
+    """Real-BOP branch: refine against dataset images, score vs scene_gt."""
+    scene_dir = Path(bop_root) / scene_id
+    with open(scene_dir / "scene_gt.json") as f:
+        gt_objs = json.load(f)[str(int(frame))]
+    res = refine_bop_frame(
+        cfg if cfg is not None else ConfigNode(),
+        scene_dir,
+        Path(models_dir) if models_dir else Path(bop_root).parent / "models",
+        objs, frame=frame, obj_scale=obj_scale, mesh_cache=mesh_cache,
+        gt_objs=gt_objs,
+    )
+    out = []
+    for i_obj, entry in res.items():
+        entry = dict(entry)
+        entry.update(scene=scene_id, frame=frame, i_obj=int(i_obj))
+        out.append(entry)
+    return out
+
+
+def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
+                   obj_scale, seed):
+    """Jitted sweep machinery, built once per configuration.
+
+    Every device function takes the scene-varying values (poses, gt images)
+    as TRACED arguments, so one compilation serves the whole sweep — under
+    the axon backend each retrace costs ~30s of remote compiles.
+    """
+    key = (str(mesh_path), tuple(resolution), batchsize, nb_iterations,
+           obj_scale, seed)
+    if key in _synth_ctx_cache:
+        return _synth_ctx_cache[key]
+
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffdope_tpu import geometry as geo
+    from diffdope_tpu.losses import select_losses
+    from diffdope_tpu.metrics import add_metric, adds_metric, object_diameter
+    from diffdope_tpu.optimize import (
+        argmin_hypothesis, draw_learning_rates, pose_matrix, pose_params,
+        refine,
+    )
+    from diffdope_tpu.render.pipeline import make_fused_loss, render_batch
+
+    h, w = resolution
+    f = 1.2 * max(h, w)
+    proj = jnp.asarray(
+        geo.projection_from_intrinsics(f, f, w / 2, h / 2, w, h, 0.01, 100.0),
+        jnp.float32,
+    )
+    mesh = load_mesh(mesh_path, scale=obj_scale, vertex_pad=128,
+                     triangle_pad=128)
+    pos = jnp.asarray(mesh.pos)
+    tri = jnp.asarray(mesh.pos_idx)
+    edge_adj = jnp.asarray(mesh.edge_adj)
+    cc = jnp.asarray(mesh.corner_colors) if mesh.corner_colors is not None else None
+    vc = jnp.asarray(mesh.vtx_color) if cc is None else None
+    color_kw = dict(corner_colors=cc) if cc is not None else dict(vtx_color=vc)
+
+    def render_fn(mtx, layout="channels"):
+        return render_batch(
+            proj, mtx, pos, tri, resolution, edge_adj=edge_adj,
+            raster_impl="pallas", layout=layout, **color_kw,
+        )
+
+    loss_fns, weights = select_losses(
+        {"l1_mask": True, "weight_mask": 1.0,
+         "l1_rgb_with_mask": True, "weight_rgb": 0.7})
+    lrs = draw_learning_rates(jax.random.PRNGKey(seed), batchsize, (0.5, 4.0))
+    # gt deferred (None): fn(mtx, gt) — one trace serves every object
+    fused = make_fused_loss(
+        proj, pos, tri, resolution, None, lrs, weights,
+        use_rgb=True, use_depth=False, use_mask=True,
+        edge_adj=edge_adj, **color_kw,
+    )
+
+    @jax.jit
+    def gt_render(q, t):
+        mtx, _, _ = pose_matrix(pose_params(q, t, 1))
+        r = render_fn(mtx, layout="stacked")
+        return {"rgb": r["rgb"][0], "segmentation": r["mask"][0],
+                "depth": r["depth"][0]}, mtx[0]
+
+    jit_refine = jax.jit(functools.partial(
+        refine, render_fn=render_fn, loss_fns=tuple(loss_fns),
+        weights=weights, nb_iterations=nb_iterations, base_lr=0.02,
+        lr_decay=0.1, optimizer="adam", fused_loss_fn=fused,
+    ))
+
+    pts = np.asarray(mesh.pos[: mesh.num_vertices])
+    if len(pts) > 1000:
+        pts = pts[:: len(pts) // 1000]
+    pts_j = jnp.asarray(pts)
+
+    @jax.jit
+    def score(mtx_est, mtx_gt):
+        return (
+            add_metric(pts_j, mtx_est[:3, :3], mtx_est[:3, 3],
+                       mtx_gt[:3, :3], mtx_gt[:3, 3]),
+            adds_metric(pts_j[:500], mtx_est[:3, :3], mtx_est[:3, 3],
+                        mtx_gt[:3, :3], mtx_gt[:3, 3]),
+        )
+
+    ctx = dict(
+        gt_render=gt_render, jit_refine=jit_refine, score=score, lrs=lrs,
+        argmin=argmin_hypothesis, pose_params=pose_params,
+        diameter=object_diameter(pts), geo=geo,
+    )
+    _synth_ctx_cache[key] = ctx
+    return ctx
+
+
+def _sweep_synth_objects(objs, level, scene_id, frame, mesh_path, obj_scale,
+                         resolution, batchsize, nb_iterations, seed, log_fn):
+    """Synthesized branch: JSON pose = gt, init = gt + level perturbation."""
+    import zlib
+
+    import jax.numpy as jnp
+
+    ctx = _synth_context(mesh_path, resolution, batchsize, nb_iterations,
+                         obj_scale, seed)
+    geo = ctx["geo"]
+    deg, trans_mm = parse_level(level)
+    rng = np.random.default_rng(
+        seed + zlib.crc32(f"{level}/{scene_id}/{frame}".encode())
+    )
+    out = []
+    for i_obj, obj in enumerate(objs):
+        # gt pose: the JSON rotation (CV -> GL), normalized to a fixed
+        # camera distance so the stand-in mesh is fully in frame at every
+        # dataset's scale
+        r_cv = np.asarray(obj["cam_R_m2c"], float).reshape(3, 3)
+        _, q_gl = geo.opencv_to_opengl(np.zeros(3), r_cv)
+        q_gt = np.asarray(q_gl, np.float32)
+        t_gt = np.array([0.0, 0.0, -2.0], np.float32)
+        gt, mtx_gt = ctx["gt_render"](jnp.asarray(q_gt), jnp.asarray(t_gt))
+
+        # init: gt perturbed by the level's magnitudes; trans_mm is in BOP
+        # millimetres, working units are mm * obj_scale (the same scaling
+        # applied to cam_t_m2c)
+        dq = geo.quat_from_axis_angle(rng.normal(size=3), np.deg2rad(deg))
+        q0 = np.asarray(geo.quat_multiply(jnp.asarray(dq), jnp.asarray(q_gt)),
+                        np.float32)
+        dt = rng.normal(size=3)
+        dt = dt / np.linalg.norm(dt) * trans_mm * obj_scale
+        t0 = (t_gt + dt).astype(np.float32)
+
+        result = ctx["jit_refine"](
+            ctx["pose_params"](q0, t0, batchsize), gt=gt,
+            learning_rates=ctx["lrs"],
+        )
+        best = int(ctx["argmin"](
+            {k: jnp.asarray(v) for k, v in result.losses_values.items()}))
+        add, adds = ctx["score"](result.mtx_history[-1][best], mtx_gt)
+        entry = {
+            "scene": scene_id, "frame": frame, "i_obj": i_obj,
+            "obj_id": int(obj.get("obj_id", -1)),
+            "add": float(add), "adds": float(adds),
+            "diameter": ctx["diameter"],
+            "final_loss": float(np.asarray(result.total_loss)[-1]),
+        }
+        out.append(entry)
+        log_fn(f"  {level} {scene_id}/{frame}#{i_obj}: add={entry['add']:.4f} "
+               f"adds={entry['adds']:.4f} d={entry['diameter']:.3f}")
+    return out
+
+
+_synth_ctx_cache: Dict[tuple, dict] = {}
+
+
 def load_bop_camera(scene_dir: Path, frame: str, image_hw, resize: float = 1.0) -> Optional[Camera]:
     """Camera from scene_camera.json (cam_K), or None when absent."""
     cam_json = Path(scene_dir) / "scene_camera.json"

@@ -156,11 +156,22 @@ def refine(
 
     if fused_loss_fn is not None and extra_params:
         raise ValueError("fused_loss_fn does not support extra_params")
+    fused_takes_gt = False
+    if fused_loss_fn is not None:
+        import inspect
+
+        fused_takes_gt = (
+            len(inspect.signature(fused_loss_fn).parameters) >= 2
+        )
 
     def loss_fn(params):
         mtx, _, _ = pose_matrix(params)
         if fused_loss_fn is not None:
-            total, logs = fused_loss_fn(mtx)
+            # gt passed traced when the fused fn defers it (one trace serves
+            # many scenes, e.g. the BOP sweep); baked closures take mtx only
+            total, logs = (
+                fused_loss_fn(mtx, gt) if fused_takes_gt else fused_loss_fn(mtx)
+            )
             return total, (logs, mtx)
         extra = {k: params[k] for k in extra_keys}
         renders = render_fn(mtx, **extra)

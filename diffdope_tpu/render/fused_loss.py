@@ -123,33 +123,43 @@ def _window_geometry(si, hs, h, w, wp):
 
 def _assemble(ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, gt_t, gt_b,
               dpl=None):
-    """Concatenate main slab + 2-row halos into (hs+4)-row windows."""
+    """Concatenate main slab + 2-row halos into (hs+4)-row windows.
+
+    gt_t/gt_b (and the halo entries of dpl) may be None: the forward only
+    sums loss over its own rows, so the gt values at halo rows are always
+    masked out — zero-padding replaces two operand streams per array."""
     ids_w = jnp.concatenate([ids_t[0, 0], ids_m[0, 0], ids_b[0, 0]], axis=0)
     rows_w = jnp.concatenate(
         [rows_t[0, :, 0], rows_m[0], rows_b[0, :, 0]], axis=1
     )
-    gt_w = jnp.concatenate([gt_t[:, 0], gt_m[...], gt_b[:, 0]], axis=1)
+    wp = ids_m.shape[-1]
+    zg = jnp.zeros((gt_m.shape[0], 2, wp), gt_m.dtype)
+    gt_w = jnp.concatenate(
+        [zg if gt_t is None else gt_t[:, 0], gt_m[...],
+         zg if gt_b is None else gt_b[:, 0]], axis=1
+    )
     dpl_w = None
     if dpl is not None:
         dpl_m, dpl_t, dpl_b = dpl
+        zd = jnp.zeros((2, wp), jnp.float32)
         dpl_w = jnp.concatenate(
-            [dpl_t[0, 0], dpl_m[0, 0], dpl_b[0, 0]], axis=0
+            [zd if dpl_t is None else dpl_t[0, 0], dpl_m[0, 0],
+             zd if dpl_b is None else dpl_b[0, 0]], axis=0
         )
     return ids_w, rows_w, gt_w, dpl_w
 
 
 def _fwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth):
     if with_depth:
-        (ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, gt_t, gt_b,
-         dpl_m, dpl_t, dpl_b, out_ref) = refs
-        dpl = (dpl_m, dpl_t, dpl_b)
-    else:
-        (ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, gt_t, gt_b,
+        (ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, dpl_m,
          out_ref) = refs
+        dpl = (dpl_m, None, None)
+    else:
+        (ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, out_ref) = refs
         dpl = None
     si = pl.program_id(1)
     ids_w, rows_w, gt_w, dpl_w = _assemble(
-        ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, gt_t, gt_b, dpl
+        ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, None, None, dpl
     )
     x, y, valid, own = _window_geometry(si, hs, h, w, wp)
     m_sum, r_sum, d_sum = _window_terms(
@@ -221,18 +231,19 @@ def _halo_arrays(rows, ids, gt6, dplane, hs):
     i3 = ids.reshape(b, ns, hs, wp)
     ids_t = i3[:, :, hs - 2 :, :]
     ids_b = i3[:, :, :2, :]
-    g3 = gt6.reshape(6, ns, hs, wp)
-    gt_t = g3[:, :, hs - 2 :, :]
-    gt_b = g3[:, :, :2, :]
-    out = [ids_t, ids_b, rows_t, rows_b, gt_t, gt_b]
+    out = [ids_t, ids_b, rows_t, rows_b]
+    if gt6 is not None:
+        g3 = gt6.reshape(6, ns, hs, wp)
+        out += [g3[:, :, hs - 2 :, :], g3[:, :, :2, :]]
     if dplane is not None:
         d3 = dplane.reshape(b, ns, hs, wp)
         out += [d3[:, :, hs - 2 :, :], d3[:, :, :2, :]]
     return out
 
 
-def _specs(b, width, hs, wp, ns, with_depth):
-    """(in_specs for [ids x3, rows x3, gt x3, dpl x3?]) shared by fwd/bwd."""
+def _specs(b, width, hs, wp, ns, with_depth, gt_halos=True):
+    """in_specs for [ids x3, rows x3, gt x1|3, dpl x1|3?] (fwd passes
+    gt_halos=False: its loss rows never read gt beyond the main slab)."""
 
     def prev(si):
         return jnp.maximum(si - 1, 0)
@@ -252,32 +263,42 @@ def _specs(b, width, hs, wp, ns, with_depth):
             (1, width, 1, 2, wp), lambda bi, si: (bi, 0, nxt(si), 0, 0)
         ),
         pl.BlockSpec((6, hs, wp), lambda bi, si: (0, si, 0)),
-        pl.BlockSpec((6, 1, 2, wp), lambda bi, si: (0, prev(si), 0, 0)),
-        pl.BlockSpec((6, 1, 2, wp), lambda bi, si: (0, nxt(si), 0, 0)),
     ]
+    if gt_halos:
+        specs += [
+            pl.BlockSpec((6, 1, 2, wp), lambda bi, si: (0, prev(si), 0, 0)),
+            pl.BlockSpec((6, 1, 2, wp), lambda bi, si: (0, nxt(si), 0, 0)),
+        ]
     if with_depth:
         specs += [
             pl.BlockSpec((1, 1, hs, wp), lambda bi, si: (bi, si, 0, 0)),
-            pl.BlockSpec((1, 1, 2, wp), lambda bi, si: (bi, prev(si), 0, 0)),
-            pl.BlockSpec((1, 1, 2, wp), lambda bi, si: (bi, nxt(si), 0, 0)),
         ]
+        if gt_halos:
+            specs += [
+                pl.BlockSpec(
+                    (1, 1, 2, wp), lambda bi, si: (bi, prev(si), 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, 1, 2, wp), lambda bi, si: (bi, nxt(si), 0, 0)
+                ),
+            ]
     return specs
 
 
-def _operands(rows, ids, gt6, dplane, hs):
+def _operands(rows, ids, gt6, dplane, hs, gt_halos=True):
     b, width, hp, wp = rows.shape
     ns = hp // hs
-    halos = _halo_arrays(rows, ids, gt6, dplane, hs)
+    halos = _halo_arrays(rows, ids, gt6 if gt_halos else None,
+                         dplane if gt_halos else None, hs)
     ids_r = ids.reshape(b, ns, hs, wp)
-    ids_t, ids_b, rows_t, rows_b, gt_t, gt_b = halos[:6]
-    ops = [
-        ids_r, ids_t, ids_b,
-        rows, rows_t, rows_b,
-        gt6, gt_t, gt_b,
-    ]
+    ids_t, ids_b, rows_t, rows_b = halos[:4]
+    ops = [ids_r, ids_t, ids_b, rows, rows_t, rows_b, gt6]
+    if gt_halos:
+        ops += [halos[4], halos[5]]
     if dplane is not None:
-        dpl_t, dpl_b = halos[6:]
-        ops += [dplane.reshape(b, ns, hs, wp), dpl_t, dpl_b]
+        ops.append(dplane.reshape(b, ns, hs, wp))
+        if gt_halos:
+            ops += [halos[6], halos[7]]
     return ops, ns
 
 
@@ -315,7 +336,7 @@ def _fwd(rows, ids, gt6, dplane, resolution, n_attr, interpret):
     b, width, hp, wp = rows.shape
     h, w = resolution
     hs = pick_slab_h(hp)
-    ops, ns = _operands(rows, ids, gt6, dplane, hs)
+    ops, ns = _operands(rows, ids, gt6, dplane, hs, gt_halos=False)
     with_depth = dplane is not None
     kernel = functools.partial(
         _fwd_kernel, hs=hs, h=h, w=w, wp=wp, n_attr=n_attr,
@@ -325,7 +346,7 @@ def _fwd(rows, ids, gt6, dplane, resolution, n_attr, interpret):
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, ns, 8, 128), jnp.float32),
         grid=(b, ns),
-        in_specs=_specs(b, width, hs, wp, ns, with_depth),
+        in_specs=_specs(b, width, hs, wp, ns, with_depth, gt_halos=False),
         out_specs=pl.BlockSpec((1, 1, 8, 128), lambda bi, si: (bi, si, 0, 0)),
         interpret=interpret,
     )(*ops)

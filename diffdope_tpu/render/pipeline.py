@@ -276,7 +276,7 @@ def make_fused_loss(
     pos: Array,
     pos_idx: Array,
     resolution: Tuple[int, int],
-    gt: Dict[str, Array],
+    gt: Optional[Dict[str, Array]],
     learning_rates: Array,
     weights: Dict[str, float],
     use_rgb: bool = False,
@@ -303,6 +303,10 @@ def make_fused_loss(
     Covers the standard configuration (pallas raster + per-corner color
     planes + the three reference losses); texture-sampled color or custom
     loss functions use the unfused render_batch path instead.
+
+    gt=None defers the ground truth: the returned fn has signature
+    ``fn(mtx, gt)`` with gt a traced {'rgb','segmentation'[,'depth']} dict —
+    one trace serves many scenes (the BOP sweep uses this).
     """
     from diffdope_tpu.render.fused_loss import fused_loss_sums
     from diffdope_tpu.render.planar import (
@@ -335,26 +339,34 @@ def make_fused_loss(
         | (pos_idx[:, 2] == pos_idx[:, 0])
     )
 
-    # ground-truth planes in the padded raster layout (closure constants)
+    # ground-truth planes in the padded raster layout
     def pad_plane(a):
         return jnp.pad(jnp.asarray(a, jnp.float32), ((0, hp - h), (0, wp - w)))
 
-    seg = gt.get("segmentation")
-    if seg is None:
-        raise ValueError("fused loss requires gt['segmentation']")
-    rgb_gt = gt.get("rgb")
-    planes = [pad_plane(seg[..., c]) for c in range(3)]
-    if rgb_gt is not None:
-        planes += [pad_plane(rgb_gt[..., c]) for c in range(3)]
-    else:
-        planes += [jnp.zeros((hp, wp), jnp.float32)] * 3
-    gt6 = jnp.stack(planes, axis=0)
-    gtd_p = pad_plane(gt["depth"]) if use_depth else None
+    def prep_gt(gt_arrays):
+        seg = gt_arrays.get("segmentation")
+        if seg is None:
+            raise ValueError("fused loss requires gt['segmentation']")
+        rgb_gt = gt_arrays.get("rgb")
+        planes = [pad_plane(seg[..., c]) for c in range(3)]
+        if rgb_gt is not None:
+            planes += [pad_plane(rgb_gt[..., c]) for c in range(3)]
+        else:
+            planes += [jnp.zeros((hp, wp), jnp.float32)] * 3
+        gt6 = jnp.stack(planes, axis=0)
+        gtd_p = pad_plane(gt_arrays["depth"]) if use_depth else None
+        return gt6, gtd_p
+
+    baked = prep_gt(gt) if gt is not None else None
 
     interpret = jax.default_backend() not in ("tpu", "axon")
     npx = float(h * w)
 
-    def fn(mtx):
+    def fn(mtx, gt_arrays=None):
+        if baked is not None:
+            gt6, gtd_p = baked
+        else:
+            gt6, gtd_p = prep_gt(gt_arrays)
         if mtx.ndim == 2:
             mtx = mtx[None]
         mvp = jnp.einsum(

@@ -23,7 +23,7 @@ chunk in XLA, prefetched to SMEM), so both loops only touch the
 contain coverage — the difference between evaluating every binned triangle
 against all 32 rows of its tile and only against its own few rows.
 
-Everything is planar: the packed table is (B, 32, T), bins (B, nt, 32, K),
+Everything is planar: the packed table is (B, 32, T), bins (B, 32, nt*K),
 outputs ids (column-major (B, W, H), transposed once on host) and rows
 (B, 32, H, W) — no small minor dims, zero lane padding anywhere.
 
@@ -66,19 +66,39 @@ def _pick_chunk(k: int) -> int:
     return min(k, 128)
 
 
+def _pick_qrows(th: int) -> int:
+    """Rows evaluated per loop iteration (must divide the tile height).
+
+    The per-(row, chunk) iteration is latency-bound, not ALU-bound (measured:
+    halving the chunk width RAISED step time ~22% while halving element work)
+    — each iteration is a serial eval -> lane-reduce -> merge chain that
+    Mosaic does not software-pipeline across fori_loop trips.  Evaluating q
+    rows as one (q*tw, kc) window amortizes that chain over q rows."""
+    import os
+
+    q = int(os.environ.get("DD_QROWS", "4"))
+    while th % q:
+        q //= 2
+    return max(q, 1)
+
+
 def _fwd_kernel_v2(
     counts_ref, rlo_ref, rhi_ref, bins_ref, ids_ref, rows_ref,
-    *, th, tw, ntx, h, w, k_chunk,
+    *, th, tw, ntx, h, w, k_chunk, q_rows,
 ):
     """Vectorized forward: see module docstring.
 
     Work gating: bins are sorted by triangle y_min
     (planar.bin_triangles_planar sort_by_y) and rlo/rhi give each K-chunk's
     conservative absolute pixel-row range (union over the batch).  Both
-    phases loop CHUNK-OUTER / ROW-INNER over just the chunk's contiguous
-    active row range — no per-(row, chunk) branches, and the chunk's lane
-    slices are loop-invariant hoisted.  Coverage is still re-tested exactly
-    per pixel, so gating never changes the output.
+    phases loop CHUNK-OUTER / QUAD-INNER over just the chunk's contiguous
+    active row range, q_rows rows per iteration as one (q_rows*tw, kc)
+    window: the per-iteration eval -> lane-reduce -> merge latency chain
+    (the measured bottleneck — see _pick_qrows) is amortized over q_rows
+    rows, and phase C's one-hot gather becomes a q_rows-wide MXU matmul.
+    Coverage is still re-tested exactly per pixel, so gating never changes
+    the output — rows evaluated only because of quad rounding find no
+    coverage from this chunk and merge as no-ops.
 
     The per-row best-z / best-id state lives in a carried (tw, th) register
     pair; column r is extracted / merged with lane-iota masks (single-lane
@@ -87,29 +107,36 @@ def _fwd_kernel_v2(
     counts_ref: SMEM (num_tiles,) int32.
     rlo_ref/rhi_ref: SMEM (num_tiles, n_chunks) int32 absolute pixel-row
                 bounds per chunk (inclusive).
-    bins_ref:   VMEM (1, 1, 32, K) planar bin rows (lane 13 = tri index).
+    bins_ref:   VMEM (1, 32, K) planar bin rows (lane 13 = tri index) —
+                one tile's K columns of the (B, 32, num_tiles*K) gather
+                (natural take() layout: no relayout copies at the kernel
+                boundary, measured ~8 ms/step at bench scale).
     ids_ref:    VMEM (1, 1, tw, th) int32 out — column-major per tile
                 (array (B, nty, Wp, th); untangled on the host).
     rows_ref:   VMEM (1, 32, th, tw) f32 out.
     """
     t = pl.program_id(1)
     count = counts_ref[t]
-    k_max = bins_ref.shape[3]
+    k_max = bins_ref.shape[2]
     n_chunks = k_max // k_chunk
     used = jnp.minimum((count + k_chunk - 1) // k_chunk, n_chunks)
+    q = q_rows
 
-    # pixel coordinates: X varies along sublanes (tw), y is scalar per row
-    # tpu.iota must be integer-typed; cast after
-    xcol_i = jax.lax.broadcasted_iota(jnp.int32, (tw, 1), 0) + (t % ntx) * tw
-    xcol = (2.0 * xcol_i.astype(jnp.float32) + 1.0) / w - 1.0  # (tw, 1)
+    # pixel coordinates for a q-row window: X tiles the tile's columns q
+    # times along sublanes; jrow is each sublane group's sub-row index
+    # (tpu.iota must be integer-typed; cast after)
+    iq = jax.lax.broadcasted_iota(jnp.int32, (q * tw, 1), 0)
+    jrow_i = iq // tw  # (q*tw, 1) int: 0..q-1
+    xcol_i = (iq % tw) + (t % ntx) * tw
+    xq = (2.0 * xcol_i.astype(jnp.float32) + 1.0) / w - 1.0  # (q*tw, 1)
     y0 = (t // ntx) * th
 
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, th), 1)
 
-    def row_range(ci):
+    def quad_range(ci):
         r_lo = jnp.clip(rlo_ref[t, ci] - y0, 0, th)
         r_hi = jnp.clip(rhi_ref[t, ci] - y0 + 1, 0, th)
-        return r_lo, r_hi
+        return r_lo // q, (r_hi + q - 1) // q
 
     def col_get(mat, r):
         """Column r of a (tw, th) value as (tw, 1) (others masked to 0)."""
@@ -122,7 +149,7 @@ def _fwd_kernel_v2(
     # keeps ties deterministic toward the smallest id regardless of order)
     def chunk_a(ci, carry):
         base = pl.multiple_of(ci * k_chunk, 128)
-        c32 = bins_ref[0, 0, :, pl.ds(base, k_chunk)]  # (32, kc)
+        c32 = bins_ref[0, :, pl.ds(base, k_chunk)]  # (32, kc)
 
         def lane(j):
             return c32[j:j + 1, :]  # (1, kc)
@@ -144,42 +171,53 @@ def _fwd_kernel_v2(
         inv_det = 1.0 / jnp.where(det != 0.0, det, 1.0)
         slot = jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1) + base
         slot_ok = (slot < count) & (det != 0)
-        r_lo, r_hi = row_range(ci)
+        q_lo, q_hi = quad_range(ci)
 
-        def row_body(r, carry2):
+        def quad_body(qi, carry2):
             zb_mat, ib_mat = carry2
-            y_r = (2.0 * (y0 + r).astype(jnp.float32) + 1.0) / h - 1.0
-            e0 = xcol * a0 + (y_r * b0 + c0)
-            e1 = xcol * a1 + (y_r * b1 + c1)
-            e2 = xcol * a2 + (y_r * b2 + c2)
-            zlin = xcol * az + (y_r * bz + cz)
+            r0 = qi * q
+            # exact pixel_ndc formula per sub-row (integer row index first:
+            # an incremental `base + j*2/h` differs in the last ulp and
+            # flips edge-crossing pixels vs the reference rasterization)
+            rows_i = jrow_i + (y0 + r0)
+            yq = (
+                2.0 * rows_i.astype(jnp.float32) + 1.0
+            ) / h - 1.0  # (q*tw, 1)
+            e0 = xq * a0 + (yq * b0 + c0)
+            e1 = xq * a1 + (yq * b1 + c1)
+            e2 = xq * a2 + (yq * b2 + c2)
+            zlin = xq * az + (yq * bz + cz)
             covered = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
             z = zlin * inv_det
             ok = covered & (z >= -1.0) & (z <= 1.0) & slot_ok
-            zm = jnp.where(ok, z, _INF)  # (tw, kc)
-            z_c = jnp.min(zm, axis=1, keepdims=True)  # (tw, 1)
+            zm = jnp.where(ok, z, _INF)  # (q*tw, kc)
+            z_c = jnp.min(zm, axis=1, keepdims=True)  # (q*tw, 1)
             id_c = jnp.min(
                 jnp.where(zm == z_c, ids_f, _BIG), axis=1, keepdims=True
             )
-            zb_col = col_get(zb_mat, r)
-            ib_col = col_get(ib_mat, r)
-            better = z_c < zb_col
-            # the finite-z guard keeps uncovered pixels (z_c == inf, which
-            # compares equal to the carried inf) from merging a junk id —
-            # so ib stays _BIG for background and phase C gathers nothing
-            same = (z_c == zb_col) & (z_c < _INF)
-            new_z = jnp.where(better, z_c, zb_col)
-            new_i = jnp.where(
-                better, id_c,
-                jnp.where(same, jnp.minimum(id_c, ib_col), ib_col),
-            )
-            sel = col_iota == r
-            return (
-                jnp.where(sel, new_z, zb_mat),
-                jnp.where(sel, new_i, ib_mat),
-            )
+            for j in range(q):
+                zcj = z_c[j * tw : (j + 1) * tw]
+                icj = id_c[j * tw : (j + 1) * tw]
+                r = r0 + j
+                zb_col = col_get(zb_mat, r)
+                ib_col = col_get(ib_mat, r)
+                better = zcj < zb_col
+                # the finite-z guard keeps uncovered pixels (z_c == inf,
+                # which compares equal to the carried inf) from merging a
+                # junk id — so ib stays _BIG for background and phase C
+                # gathers nothing
+                same = (zcj == zb_col) & (zcj < _INF)
+                new_z = jnp.where(better, zcj, zb_col)
+                new_i = jnp.where(
+                    better, icj,
+                    jnp.where(same, jnp.minimum(icj, ib_col), ib_col),
+                )
+                sel = col_iota == r
+                zb_mat = jnp.where(sel, new_z, zb_mat)
+                ib_mat = jnp.where(sel, new_i, ib_mat)
+            return zb_mat, ib_mat
 
-        return jax.lax.fori_loop(r_lo, r_hi, row_body, carry)
+        return jax.lax.fori_loop(q_lo, q_hi, quad_body, carry)
 
     zb_mat, ib_mat = jax.lax.fori_loop(
         0, used, chunk_a,
@@ -197,23 +235,30 @@ def _fwd_kernel_v2(
 
     def chunk_c(ci, _):
         base = pl.multiple_of(ci * k_chunk, 128)
-        c32 = bins_ref[0, 0, :, pl.ds(base, k_chunk)]  # (32, kc)
+        c32 = bins_ref[0, :, pl.ds(base, k_chunk)]  # (32, kc)
         ids_f = c32[13:14, :]
         slot = jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1) + base
         slot_ok = slot < count
-        r_lo, r_hi = row_range(ci)
+        q_lo, q_hi = quad_range(ci)
 
-        def row_body(r, _):
-            ib_col = col_get(ib_mat, r)  # (tw, 1)
-            indicator = ((ids_f == ib_col) & slot_ok).astype(jnp.float32)
+        def quad_body(qi, _):
+            r0 = qi * q
+            ib4 = jnp.concatenate(
+                [col_get(ib_mat, r0 + j) for j in range(q)], axis=0
+            )  # (q*tw, 1)
+            indicator = ((ids_f == ib4) & slot_ok).astype(jnp.float32)
             contrib = jax.lax.dot_general(
                 c32, indicator, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (32, tw)
-            rows_ref[0, :, r, :] = rows_ref[0, :, r, :] + contrib
+            )  # (32, q*tw)
+            for j in range(q):
+                rows_ref[0, :, r0 + j, :] = (
+                    rows_ref[0, :, r0 + j, :]
+                    + contrib[:, j * tw : (j + 1) * tw]
+                )
             return 0
 
-        return jax.lax.fori_loop(r_lo, r_hi, row_body, 0)
+        return jax.lax.fori_loop(q_lo, q_hi, quad_body, 0)
 
     jax.lax.fori_loop(0, used, chunk_c, 0)
 
@@ -223,15 +268,16 @@ def _fwd_kernel_v2(
 
 def _bwd_kernel_v2(
     counts_ref, rlo_ref, rhi_ref, idscm_ref, tids_ref, drows_ref, out_ref,
-    *, th, tw, ntx, k_chunk,
+    *, th, tw, ntx, k_chunk, q_rows,
 ):
-    """d_bin(32, kc) = sum_rows d_rows(32, tw) @ indicator(tw, kc).
+    """d_bin(32, kc) = sum_rows d_rows(32, q*tw) @ indicator(q*tw, kc).
 
     Row gating: a pixel's winner lies in chunk ci only if the pixel row is
     inside the chunk's conservative row range (a covered pixel row is always
     within the triangle's y bounds), so each chunk only walks the contiguous
-    row range [rlo - y0, rhi - y0] — the same ~tile-height / triangle-height
-    work cut as the forward.
+    row range [rlo - y0, rhi - y0], q_rows rows per iteration (quad rounding
+    only adds rows whose indicator is all-zero for this chunk — the winner
+    of such a row cannot be one of the chunk's triangles).
 
     tids_ref: VMEM (1, 8, K) f32 — bin triangle indices (8x sublane
     broadcast so a (1, kc) row slice is layout-legal).
@@ -241,6 +287,7 @@ def _bwd_kernel_v2(
     k_max = tids_ref.shape[2]
     n_chunks = k_max // k_chunk
     y0 = (t // ntx) * th
+    q = q_rows
 
     # NB: chunks >= used are left unwritten — every slot they hold is >=
     # count, and the inverted-bin reduction only ever gathers real slots
@@ -249,6 +296,11 @@ def _bwd_kernel_v2(
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, th), 1)
     used = jnp.minimum((count + k_chunk - 1) // k_chunk, n_chunks)
 
+    def ids_col(r):
+        return jnp.sum(
+            jnp.where(col_iota == r, ids_mat, 0), axis=1, keepdims=True
+        )  # (tw, 1)
+
     def chunk_body(ci, _):
         base = pl.multiple_of(ci * k_chunk, 128)
         ids_f = tids_ref[0, 0:1, pl.ds(base, k_chunk)]  # (1, kc)
@@ -256,25 +308,27 @@ def _bwd_kernel_v2(
         slot = jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1) + base
         slot_ok = slot < count
 
-        def row_body(r, acc):
-            # extract lane column r without a single-lane slice
-            ids_col = jnp.sum(
-                jnp.where(col_iota == r, ids_mat, 0), axis=1, keepdims=True
-            )  # (tw, 1)
-            indicator = ((ids_col == tri_id) & slot_ok).astype(jnp.float32)
-            d_row = drows_ref[0, :, r, :]  # (32, tw)
+        def quad_body(qi, acc):
+            r0 = qi * q
+            ids4 = jnp.concatenate(
+                [ids_col(r0 + j) for j in range(q)], axis=0
+            )  # (q*tw, 1)
+            indicator = ((ids4 == tri_id) & slot_ok).astype(jnp.float32)
+            d4 = jnp.concatenate(
+                [drows_ref[0, :, r0 + j, :] for j in range(q)], axis=1
+            )  # (32, q*tw)
             return acc + jax.lax.dot_general(
-                d_row, indicator, (((1,), (0,)), ((), ())),
+                d4, indicator, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (32, kc)
 
         r_lo = jnp.clip(rlo_ref[t, ci] - y0, 0, th)
         r_hi = jnp.clip(rhi_ref[t, ci] - y0 + 1, 0, th)
         acc = jax.lax.fori_loop(
-            r_lo, r_hi, row_body,
+            r_lo // q, (r_hi + q - 1) // q, quad_body,
             jnp.zeros((PACKED_WIDTH, k_chunk), jnp.float32),
         )
-        out_ref[0, 0, :, pl.ds(base, k_chunk)] = acc
+        out_ref[0, :, pl.ds(base, k_chunk)] = acc
         return 0
 
     jax.lax.fori_loop(0, used, chunk_body, 0)
@@ -337,13 +391,12 @@ def _untangle_ids(ids_cm, resolution, padded: bool = False):
 
 
 def _bins_planar(packed, tile_idx):
+    """(B, 32, num_tiles*K) per-tile bin tables — the gather's natural
+    output layout; tile t's table is columns [t*K, (t+1)*K)."""
     b, width, t_count = packed.shape
     num_tiles, k = tile_idx.shape
     safe = jnp.minimum(tile_idx, t_count - 1)
-    bins = jnp.take(packed, safe.reshape(-1), axis=2)
-    return jnp.swapaxes(
-        bins.reshape(b, width, num_tiles, k), 1, 2
-    )  # (B, nt, 32, K)
+    return jnp.take(packed, safe.reshape(-1), axis=2)  # (B, 32, nt*K)
 
 
 def _chunk_row_bounds(bins, tile_counts, k_chunk, h, gated):
@@ -352,7 +405,9 @@ def _chunk_row_bounds(bins, tile_counts, k_chunk, h, gated):
     Union over the batch of the y-bound lanes (planar.YLO_LANE/YHI_LANE),
     masked to real slots, then converted to pixel rows with one spare row
     of slack on each side (gating must never cut a covered pixel)."""
-    b, num_tiles, width, k = bins.shape
+    b, width, ntk = bins.shape
+    num_tiles = tile_counts.shape[0]
+    k = ntk // num_tiles
     nc = k // k_chunk
     if not gated:
         return (
@@ -361,14 +416,14 @@ def _chunk_row_bounds(bins, tile_counts, k_chunk, h, gated):
         )
     slot_ok = (
         jnp.arange(k, dtype=jnp.int32)[None, :] < tile_counts[:, None]
-    )  # (num_tiles, k)
+    ).reshape(1, ntk)  # (1, num_tiles*k)
     big = jnp.float32(4.0)
     ylo = jnp.min(
-        jnp.where(slot_ok[None], bins[:, :, PACKED_WIDTH - 2, :], big), axis=0
-    )
+        jnp.where(slot_ok, bins[:, PACKED_WIDTH - 2, :], big), axis=0
+    ).reshape(num_tiles, k)
     yhi = jnp.max(
-        jnp.where(slot_ok[None], bins[:, :, PACKED_WIDTH - 1, :], -big), axis=0
-    )
+        jnp.where(slot_ok, bins[:, PACKED_WIDTH - 1, :], -big), axis=0
+    ).reshape(num_tiles, k)
     ylo = jnp.min(ylo.reshape(num_tiles, nc, k_chunk), axis=-1)
     yhi = jnp.max(yhi.reshape(num_tiles, nc, k_chunk), axis=-1)
     # pixel row r has NDC y = (2r+1)/h - 1, so coverage implies
@@ -392,15 +447,16 @@ def _fwd_v2(packed, tile_idx, tile_counts, resolution, tile_hw, interpret,
     bins = _bins_planar(packed, tile_idx)
     rlo, rhi = _chunk_row_bounds(bins, tile_counts, k_chunk, h, gated)
     kernel = functools.partial(
-        _fwd_kernel_v2, th=th, tw=tw, ntx=ntx, h=h, w=w, k_chunk=k_chunk
+        _fwd_kernel_v2, th=th, tw=tw, ntx=ntx, h=h, w=w, k_chunk=k_chunk,
+        q_rows=_pick_qrows(th),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, num_tiles),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, PACKED_WIDTH, k),
-                lambda bi, ti, c, rl, rh: (bi, ti, 0, 0),
+                (1, PACKED_WIDTH, k),
+                lambda bi, ti, c, rl, rh: (bi, 0, ti),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -465,7 +521,8 @@ def _vjp_bwd_v2(resolution, tile_hw, interpret, gated, padded, res,
     tids = jnp.broadcast_to(tri_f[:, None, :], (num_tiles, 8, k))
 
     kernel = functools.partial(
-        _bwd_kernel_v2, th=th, tw=tw, ntx=ntx, k_chunk=k_chunk
+        _bwd_kernel_v2, th=th, tw=tw, ntx=ntx, k_chunk=k_chunk,
+        q_rows=_pick_qrows(th),
     )
     bwd_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -487,21 +544,22 @@ def _vjp_bwd_v2(resolution, tile_hw, interpret, gated, padded, res,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, PACKED_WIDTH, k), lambda bi, ti, c, rl, rh: (bi, ti, 0, 0),
+            (1, PACKED_WIDTH, k), lambda bi, ti, c, rl, rh: (bi, 0, ti),
             memory_space=pltpu.VMEM,
         ),
     )
-    d_bin = pl.pallas_call(
+    # d_bin comes out directly in the flat (B, 32, num_tiles*K) layout the
+    # inverted-bin gather consumes — no swapaxes relayout
+    d_bin_flat = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (b, num_tiles, PACKED_WIDTH, k), jnp.float32
+            (b, PACKED_WIDTH, num_tiles * k), jnp.float32
         ),
         grid_spec=bwd_grid,
         interpret=interpret,
     )(tile_counts, rlo, rhi, ids_cm, tids, d_rows_p)
 
     # per-triangle reduction over its <=M tile occurrences (lane gathers)
-    d_bin_flat = jnp.swapaxes(d_bin, 1, 2).reshape(b, width, num_tiles * k)
     m = inv_pos.shape[1]
     gathered = jnp.take(d_bin_flat, inv_pos.reshape(-1), axis=2).reshape(
         b, width, t_count, m
