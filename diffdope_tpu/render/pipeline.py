@@ -183,23 +183,32 @@ def render_batch(
             cp, attr_corner_vals, zrot, edge_adj, degenerate
         )
 
-        if bins is not None:
-            idx, counts, inv_pos, inv_valid = bins
-        else:
-            idx, counts, _ = bin_triangles_planar(
-                cp, det, resolution, tile_hw, max_tris_per_tile,
-                cull_backfaces=cull_backfaces,
-            )
-            # the backward's inverted-bin gather scales with B*32*T*max_occ;
-            # size it from gather_rows.bin_occupancy (+drift slack) when the
-            # scene is known — occurrences beyond max_occ lose gradients
-            inv_pos, inv_valid = invert_bins(idx, t_count, max_occ)
-        from diffdope_tpu.render.raster_v2 import raster_gather_rows_v2
+        import os
 
-        ids, rows = raster_gather_rows_v2(
-            packed_pl, idx, counts, inv_pos, inv_valid,
-            tuple(resolution), tuple(tile_hw), interpret,
-        )
+        if bins is None and os.environ.get("DD_RASTER", "v2") == "v3":
+            from diffdope_tpu.render.raster_v3 import raster_gather_rows_v3
+
+            ids, rows = raster_gather_rows_v3(
+                packed_pl, tuple(resolution), tuple(tile_hw), interpret
+            )
+        else:
+            if bins is not None:
+                idx, counts, inv_pos, inv_valid = bins
+            else:
+                idx, counts, _ = bin_triangles_planar(
+                    cp, det, resolution, tile_hw, max_tris_per_tile,
+                    cull_backfaces=cull_backfaces,
+                )
+                # the backward's inverted-bin gather scales with
+                # B*32*T*max_occ; size it from gather_rows.bin_occupancy
+                # when the scene is known
+                inv_pos, inv_valid = invert_bins(idx, t_count, max_occ)
+            from diffdope_tpu.render.raster_v2 import raster_gather_rows_v2
+
+            ids, rows = raster_gather_rows_v2(
+                packed_pl, idx, counts, inv_pos, inv_valid,
+                tuple(resolution), tuple(tile_hw), interpret,
+            )
         sh = None  # shading happens inside the checkpointed section below
     else:
         raise ValueError(f"unknown raster_impl {impl!r}")
@@ -379,20 +388,30 @@ def make_fused_loss(
         packed_pl, det = packed_planar(
             cp, attr_corner_vals, zrot, edge_adj, degenerate
         )
-        if bins is not None:
-            idx, counts, inv_pos, inv_valid = bins
-        else:
-            idx, counts, _ = bin_triangles_planar(
-                cp, det, resolution, tile_hw, max_tris_per_tile,
-                cull_backfaces=cull_backfaces,
-            )
-            inv_pos, inv_valid = invert_bins(idx, t_count, max_occ)
-        from diffdope_tpu.render.raster_v2 import raster_gather_rows_v2
+        import os
 
-        ids, rows = raster_gather_rows_v2(
-            packed_pl, idx, counts, inv_pos, inv_valid,
-            tuple(resolution), tuple(tile_hw), interpret, True, True,
-        )
+        if bins is None and os.environ.get("DD_RASTER", "v2") == "v3":
+            # sorted-range kernel: no bin lists, no K cap, direct d_packed
+            from diffdope_tpu.render.raster_v3 import raster_gather_rows_v3
+
+            ids, rows = raster_gather_rows_v3(
+                packed_pl, tuple(resolution), tuple(tile_hw), interpret, True
+            )
+        else:
+            if bins is not None:
+                idx, counts, inv_pos, inv_valid = bins
+            else:
+                idx, counts, _ = bin_triangles_planar(
+                    cp, det, resolution, tile_hw, max_tris_per_tile,
+                    cull_backfaces=cull_backfaces,
+                )
+                inv_pos, inv_valid = invert_bins(idx, t_count, max_occ)
+            from diffdope_tpu.render.raster_v2 import raster_gather_rows_v2
+
+            ids, rows = raster_gather_rows_v2(
+                packed_pl, idx, counts, inv_pos, inv_valid,
+                tuple(resolution), tuple(tile_hw), interpret, True, True,
+            )
         dplane = None
         if use_depth:
             dplane = gtd_p[None] + mtx[..., 2, 3][:, None, None]

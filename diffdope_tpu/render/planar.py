@@ -138,23 +138,48 @@ def packed_planar(
         for i in range(3):
             lanes.append(zr[0] * cs[0][i] + zr[1] * cs[1][i] + zr[2] * cs[2][i])
 
-    # lanes 30/31 carry the triangle's conservative NDC-y bounds for the
-    # raster kernel's per-(row, chunk) work gating (raster_v2).  They are
-    # control data: stop-gradient, and never read by shading/antialiasing,
-    # so their cotangents are exactly zero.
-    if len(lanes) > PACKED_WIDTH - 2:
+    # lanes 28-31 carry the triangle's conservative NDC x/y bounds for the
+    # raster kernels' work gating (chunk row ranges in raster_v2; sort keys,
+    # tile ranges and x-overlap tests in raster_v3).  They are control data:
+    # stop-gradient, and never read by shading/antialiasing, so their
+    # cotangents are exactly zero.
+    xlo, xhi = _xbounds_ndc(cp, degenerate)
+    if len(lanes) > PACKED_WIDTH - 4:
         raise ValueError(f"too many packed lanes: {len(lanes)}")
-    while len(lanes) < PACKED_WIDTH - 2:
+    while len(lanes) < PACKED_WIDTH - 4:
         lanes.append(jnp.zeros_like(det))
-    lanes.append(ylo)
-    lanes.append(yhi)
+    lanes.extend([xlo, xhi, ylo, yhi])
     lanes = [jnp.broadcast_to(p, (b, t)) for p in lanes]
     return jnp.stack(lanes, axis=1), det  # (B, 32, T)
 
 
+XLO_LANE = PACKED_WIDTH - 4  # 28
+XHI_LANE = PACKED_WIDTH - 3  # 29
 YLO_LANE = PACKED_WIDTH - 2  # 30
 YHI_LANE = PACKED_WIDTH - 1  # 31
 _Y_OPEN = 4.0  # beyond any pixel row's NDC y in (-1, 1)
+
+
+def _xbounds_ndc(cp: Dict[str, Array], degenerate: Optional[Array]):
+    """Per-triangle conservative NDC-x interval [xlo, xhi] (B, T) — the
+    x-axis twin of :func:`_ybounds_ndc`."""
+    eps = 1e-9
+    xs = jax.lax.stop_gradient(cp["x"])
+    ws = jax.lax.stop_gradient(cp["w"])
+    safe_w = jnp.where(jnp.abs(ws) > eps, ws, eps)
+    xn = xs / safe_w
+    behind_c = ws <= eps
+    x = [_corner(xn, k) for k in range(3)]
+    bc = _corner(behind_c, 0) | _corner(behind_c, 1) | _corner(behind_c, 2)
+    xlo = jnp.minimum(jnp.minimum(x[0], x[1]), x[2])
+    xhi = jnp.maximum(jnp.maximum(x[0], x[1]), x[2])
+    xlo = jnp.where(bc, -_Y_OPEN, xlo)
+    xhi = jnp.where(bc, _Y_OPEN, xhi)
+    if degenerate is not None:
+        dg = degenerate[None, :]
+        xlo = jnp.where(dg, _Y_OPEN, xlo)
+        xhi = jnp.where(dg, -_Y_OPEN, xhi)
+    return xlo, xhi
 
 
 def _ybounds_ndc(cp: Dict[str, Array], degenerate: Optional[Array]):

@@ -130,18 +130,23 @@ def _fwd_kernel_v2(
     xcol_i = (iq % tw) + (t % ntx) * tw
     xq = (2.0 * xcol_i.astype(jnp.float32) + 1.0) / w - 1.0  # (q*tw, 1)
     y0 = (t // ntx) * th
+    nq = th // q
 
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, th), 1)
+    # carried per-row state is QUAD-MAJOR: (q*tw, nq), lane column qi
+    # holding rows [qi*q, qi*q + q) stacked along sublane groups — one
+    # column extract/merge per quad instead of q of them (the per-quad
+    # merge was ~20% of the issue-bound iteration)
+    colq_iota = jax.lax.broadcasted_iota(jnp.int32, (1, nq), 1)
 
     def quad_range(ci):
         r_lo = jnp.clip(rlo_ref[t, ci] - y0, 0, th)
         r_hi = jnp.clip(rhi_ref[t, ci] - y0 + 1, 0, th)
         return r_lo // q, (r_hi + q - 1) // q
 
-    def col_get(mat, r):
-        """Column r of a (tw, th) value as (tw, 1) (others masked to 0)."""
+    def colq_get(mat, qi):
+        """Column qi of a (q*tw, nq) value as (q*tw, 1)."""
         return jnp.sum(
-            jnp.where(col_iota == r, mat, 0.0), axis=1, keepdims=True
+            jnp.where(colq_iota == qi, mat, 0.0), axis=1, keepdims=True
         )
 
     # ---- phase A: z-test; the winning id is tracked in the same pass
@@ -187,7 +192,7 @@ def _fwd_kernel_v2(
             e1 = xq * a1 + (yq * b1 + c1)
             e2 = xq * a2 + (yq * b2 + c2)
             zlin = xq * az + (yq * bz + cz)
-            covered = (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+            covered = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0
             z = zlin * inv_det
             ok = covered & (z >= -1.0) & (z <= 1.0) & slot_ok
             zm = jnp.where(ok, z, _INF)  # (q*tw, kc)
@@ -195,34 +200,30 @@ def _fwd_kernel_v2(
             id_c = jnp.min(
                 jnp.where(zm == z_c, ids_f, _BIG), axis=1, keepdims=True
             )
-            for j in range(q):
-                zcj = z_c[j * tw : (j + 1) * tw]
-                icj = id_c[j * tw : (j + 1) * tw]
-                r = r0 + j
-                zb_col = col_get(zb_mat, r)
-                ib_col = col_get(ib_mat, r)
-                better = zcj < zb_col
-                # the finite-z guard keeps uncovered pixels (z_c == inf,
-                # which compares equal to the carried inf) from merging a
-                # junk id — so ib stays _BIG for background and phase C
-                # gathers nothing
-                same = (zcj == zb_col) & (zcj < _INF)
-                new_z = jnp.where(better, zcj, zb_col)
-                new_i = jnp.where(
-                    better, icj,
-                    jnp.where(same, jnp.minimum(icj, ib_col), ib_col),
-                )
-                sel = col_iota == r
-                zb_mat = jnp.where(sel, new_z, zb_mat)
-                ib_mat = jnp.where(sel, new_i, ib_mat)
-            return zb_mat, ib_mat
+            zb_col = colq_get(zb_mat, qi)
+            ib_col = colq_get(ib_mat, qi)
+            better = z_c < zb_col
+            # the finite-z guard keeps uncovered pixels (z_c == inf, which
+            # compares equal to the carried inf) from merging a junk id —
+            # so ib stays _BIG for background and phase C gathers nothing
+            same = (z_c == zb_col) & (z_c < _INF)
+            new_z = jnp.where(better, z_c, zb_col)
+            new_i = jnp.where(
+                better, id_c,
+                jnp.where(same, jnp.minimum(id_c, ib_col), ib_col),
+            )
+            sel = colq_iota == qi
+            return (
+                jnp.where(sel, new_z, zb_mat),
+                jnp.where(sel, new_i, ib_mat),
+            )
 
         return jax.lax.fori_loop(q_lo, q_hi, quad_body, carry)
 
     zb_mat, ib_mat = jax.lax.fori_loop(
         0, used, chunk_a,
-        (jnp.full((tw, th), _INF, jnp.float32),
-         jnp.full((tw, th), _BIG, jnp.float32)),
+        (jnp.full((q * tw, nq), _INF, jnp.float32),
+         jnp.full((q * tw, nq), _BIG, jnp.float32)),
     )
 
     # ---- phase C: one-hot row gather on the MXU.  Each triangle appears
@@ -243,9 +244,7 @@ def _fwd_kernel_v2(
 
         def quad_body(qi, _):
             r0 = qi * q
-            ib4 = jnp.concatenate(
-                [col_get(ib_mat, r0 + j) for j in range(q)], axis=0
-            )  # (q*tw, 1)
+            ib4 = colq_get(ib_mat, qi)  # (q*tw, 1)
             indicator = ((ids_f == ib4) & slot_ok).astype(jnp.float32)
             contrib = jax.lax.dot_general(
                 c32, indicator, (((1,), (1,)), ((), ())),
@@ -262,7 +261,7 @@ def _fwd_kernel_v2(
 
     jax.lax.fori_loop(0, used, chunk_c, 0)
 
-    fg = ib_mat < _BIG
+    fg = ib_mat < _BIG  # (q*tw, nq): quad-major, decoded by _untangle_ids
     ids_ref[0, 0] = jnp.where(fg, ib_mat.astype(jnp.int32) + 1, 0)
 
 
@@ -292,14 +291,15 @@ def _bwd_kernel_v2(
     # NB: chunks >= used are left unwritten — every slot they hold is >=
     # count, and the inverted-bin reduction only ever gathers real slots
     # (< count), so their contents are never read.
-    ids_mat = idscm_ref[0, 0]  # (tw, th)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, th), 1)
+    nq = th // q
+    ids_mat = idscm_ref[0, 0]  # (q*tw, nq) quad-major (see _fwd_kernel_v2)
+    colq_iota = jax.lax.broadcasted_iota(jnp.int32, (1, nq), 1)
     used = jnp.minimum((count + k_chunk - 1) // k_chunk, n_chunks)
 
-    def ids_col(r):
+    def ids_colq(qi):
         return jnp.sum(
-            jnp.where(col_iota == r, ids_mat, 0), axis=1, keepdims=True
-        )  # (tw, 1)
+            jnp.where(colq_iota == qi, ids_mat, 0), axis=1, keepdims=True
+        )  # (q*tw, 1)
 
     def chunk_body(ci, _):
         base = pl.multiple_of(ci * k_chunk, 128)
@@ -310,9 +310,7 @@ def _bwd_kernel_v2(
 
         def quad_body(qi, acc):
             r0 = qi * q
-            ids4 = jnp.concatenate(
-                [ids_col(r0 + j) for j in range(q)], axis=0
-            )  # (q*tw, 1)
+            ids4 = ids_colq(qi)  # (q*tw, 1)
             indicator = ((ids4 == tri_id) & slot_ok).astype(jnp.float32)
             d4 = jnp.concatenate(
                 [drows_ref[0, :, r0 + j, :] for j in range(q)], axis=1
@@ -373,7 +371,9 @@ def raster_gather_rows_v2(
     ids_cm, rows, _, _ = _fwd_v2(
         packed, tile_idx, tile_counts, resolution, tile_hw, interpret, gated
     )
-    ids = _untangle_ids(ids_cm, resolution, padded)
+    ids = _untangle_ids(
+        ids_cm, resolution, padded, q=_pick_qrows(tile_hw[0]), tw=tile_hw[1]
+    )
     if not padded:
         rows = rows[:, :, : resolution[0], : resolution[1]]
     ids = jax.ad_checkpoint.checkpoint_name(ids, "raster_ids")
@@ -381,10 +381,21 @@ def raster_gather_rows_v2(
     return ids, rows
 
 
-def _untangle_ids(ids_cm, resolution, padded: bool = False):
-    """(B, nty, Wp, th) column-major tiles -> (B, H, W) (or (B, Hp, Wp))."""
-    b, nty, wp, th = ids_cm.shape
-    ids = jnp.swapaxes(ids_cm, 2, 3).reshape(b, nty * th, wp)
+def _untangle_ids(ids_cm, resolution, padded: bool = False, q: int = 1,
+                  tw: int = None):
+    """Decode the kernels' per-tile ids layout to (B, H, W) (or padded).
+
+    The fwd kernel writes each tile as (q*tw, th//q) quad-major: lane
+    column qi holds rows [qi*q, qi*q + q) stacked along sublane groups.
+    Array shape (B, nty, ntx*q*tw, th//q); q=1 is plain column-major."""
+    b, nty, wq, nq = ids_cm.shape
+    if tw is None:
+        tw = wq // q  # single-x-tile default
+    ntx = wq // (q * tw)
+    # (b, ty, tx, j, x, qi) -> rows (ty, qi, j), cols (tx, x)
+    ids = ids_cm.reshape(b, nty, ntx, q, tw, nq)
+    ids = jnp.transpose(ids, (0, 1, 5, 3, 2, 4))
+    ids = ids.reshape(b, nty * nq * q, ntx * tw)
     if padded:
         return ids
     return ids[:, : resolution[0], : resolution[1]]
@@ -446,9 +457,10 @@ def _fwd_v2(packed, tile_idx, tile_counts, resolution, tile_hw, interpret,
 
     bins = _bins_planar(packed, tile_idx)
     rlo, rhi = _chunk_row_bounds(bins, tile_counts, k_chunk, h, gated)
+    q_rows = _pick_qrows(th)
     kernel = functools.partial(
         _fwd_kernel_v2, th=th, tw=tw, ntx=ntx, h=h, w=w, k_chunk=k_chunk,
-        q_rows=_pick_qrows(th),
+        q_rows=q_rows,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -462,7 +474,7 @@ def _fwd_v2(packed, tile_idx, tile_counts, resolution, tile_hw, interpret,
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 1, tw, th),
+                (1, 1, q_rows * tw, th // q_rows),
                 lambda bi, ti, c, rl, rh: (bi, ti // ntx, ti % ntx, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -476,7 +488,9 @@ def _fwd_v2(packed, tile_idx, tile_counts, resolution, tile_hw, interpret,
     ids_cm, rows = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((b, nty, ntx * tw, th), jnp.int32),
+            jax.ShapeDtypeStruct(
+                (b, nty, ntx * q_rows * tw, th // q_rows), jnp.int32
+            ),
             jax.ShapeDtypeStruct((b, PACKED_WIDTH, nty * th, ntx * tw), jnp.float32),
         ],
         grid_spec=grid_spec,
@@ -491,7 +505,9 @@ def _vjp_fwd_v2(packed, tile_idx, tile_counts, inv_pos, inv_valid,
     ids_cm, rows, rlo, rhi = _fwd_v2(
         packed, tile_idx, tile_counts, resolution, tile_hw, interpret, gated
     )
-    ids = _untangle_ids(ids_cm, resolution, padded)
+    ids = _untangle_ids(
+        ids_cm, resolution, padded, q=_pick_qrows(tile_hw[0]), tw=tile_hw[1]
+    )
     rows_out = rows if padded else rows[:, :, : resolution[0], : resolution[1]]
     res = (packed.shape, tile_idx, tile_counts, ids_cm, inv_pos, inv_valid,
            rlo, rhi)
@@ -520,16 +536,17 @@ def _vjp_bwd_v2(resolution, tile_hw, interpret, gated, padded, res,
     tri_f = jnp.minimum(tile_idx, t_count - 1).astype(jnp.float32)
     tids = jnp.broadcast_to(tri_f[:, None, :], (num_tiles, 8, k))
 
+    q_rows = _pick_qrows(th)
     kernel = functools.partial(
         _bwd_kernel_v2, th=th, tw=tw, ntx=ntx, k_chunk=k_chunk,
-        q_rows=_pick_qrows(th),
+        q_rows=q_rows,
     )
     bwd_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, num_tiles),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, tw, th),
+                (1, 1, q_rows * tw, th // q_rows),
                 lambda bi, ti, c, rl, rh: (bi, ti // ntx, ti % ntx, 0),
                 memory_space=pltpu.VMEM,
             ),
