@@ -44,14 +44,27 @@ def build_problem():
         jnp.float32,
     )
 
+    import os as _os
+
     mesh_path = Path("/root/reference/data/example/mesh/AlphabetSoup.ply")
     if mesh_path.exists():
         m = load_mesh(mesh_path, scale=0.01, vertex_pad=128, triangle_pad=128)
         pos = jnp.asarray(m.pos)
         tri = jnp.asarray(m.pos_idx)
         edge_adj = jnp.asarray(m.edge_adj)
-        kw = dict(corner_colors=jnp.asarray(m.corner_colors))
-        log(f"mesh: AlphabetSoup {m.num_triangles} tris (texture baked to corners)")
+        # DD_TEXTURE=exact: per-pixel bilinear sampling (the reference's
+        # dr.texture(filter_mode='linear') contract) instead of the default
+        # per-corner bake — unfused path, measured for the baked-vs-exact
+        # speed/accuracy tradeoff (docs/ROADMAP.md)
+        if _os.environ.get("DD_TEXTURE", "baked") == "exact" and m.tex is not None:
+            kw = dict(
+                tex=jnp.asarray(m.tex), uv=jnp.asarray(m.uv),
+                uv_idx=jnp.asarray(m.uv_idx),
+            )
+            log(f"mesh: AlphabetSoup {m.num_triangles} tris (exact bilinear texture)")
+        else:
+            kw = dict(corner_colors=jnp.asarray(m.corner_colors))
+            log(f"mesh: AlphabetSoup {m.num_triangles} tris (texture baked to corners)")
     else:
         from diffdope_tpu.mesh import build_edge_adjacency
         from diffdope_tpu.testing import icosphere
@@ -174,7 +187,11 @@ def main():
     # touch HBM; DD_FUSED=0 falls back to render_batch + losses
     import os
     fused_fn = None
-    if os.environ.get("DD_FUSED", "1") == "1":
+    has_colors = (
+        fused_ctx["corner_colors"] is not None
+        or fused_ctx["vtx_color"] is not None
+    )
+    if os.environ.get("DD_FUSED", "1") == "1" and has_colors:
         from diffdope_tpu.render.pipeline import make_fused_loss
 
         fused_fn = make_fused_loss(

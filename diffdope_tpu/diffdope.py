@@ -286,6 +286,51 @@ class DiffDope:
             self._render_jit = jax.jit(self._make_render_fn(layout="stacked"))
         return self._render_jit(mtx)
 
+    def _make_fused_loss_fn(self, gt, bins=None):
+        """Fused render+loss kernel closure when the configuration allows it
+        (pallas raster, per-corner colors, standard reference losses only) —
+        pipeline.make_fused_loss; None means the unfused path must run."""
+        from diffdope_tpu.losses import LOSS_REGISTRY
+        from diffdope_tpu.render.pipeline import make_fused_loss
+
+        if bool(self.cfg.get("tpu", ConfigNode()).get("fused_loss", True)) is False:
+            return None
+        fns = set(self.loss_functions)
+        std = {
+            LOSS_REGISTRY["l1_rgb_with_mask"],
+            LOSS_REGISTRY["l1_depth_with_mask"],
+            LOSS_REGISTRY["l1_mask"],
+        }
+        if not fns or not fns <= std:
+            return None  # custom losses need the rendered images
+        use_rgb = LOSS_REGISTRY["l1_rgb_with_mask"] in fns
+        use_depth = LOSS_REGISTRY["l1_depth_with_mask"] in fns
+        use_mask = LOSS_REGISTRY["l1_mask"] in fns
+        if "segmentation" not in gt or (use_depth and "depth" not in gt):
+            return None
+
+        arrays = self._mesh_arrays()
+        if arrays.get("corner_colors") is None and arrays.get("vtx_color") is None:
+            return None  # exact texture sampling runs unfused
+        impl = self.raster_impl
+        if impl == "auto":
+            impl = "reference" if arrays["pos_idx"].shape[0] <= 256 else "pallas"
+        if impl != "pallas":
+            return None
+
+        proj = jnp.asarray(self.camera.cam_proj, jnp.float32)
+        resolution = tuple(self.resolution)
+        max_tris = self._resolve_max_tris(arrays, proj, resolution)
+        return make_fused_loss(
+            proj, arrays["pos"], arrays["pos_idx"], resolution, gt,
+            self.learning_rates, self.loss_weights,
+            use_rgb=use_rgb, use_depth=use_depth, use_mask=use_mask,
+            edge_adj=arrays.get("edge_adj"),
+            corner_colors=arrays.get("corner_colors"),
+            vtx_color=arrays.get("vtx_color"),
+            tile_hw=self.tile_hw, max_tris_per_tile=max_tris, bins=bins,
+        )
+
     # ------------------------------------------------------------------ #
     # optimization
     # ------------------------------------------------------------------ #
@@ -299,6 +344,22 @@ class DiffDope:
         use_bins = bool(self.cfg.get("tpu", ConfigNode()).get("precompute_bins", False))
         render_fn = self._make_render_fn(with_bins=use_bins)
         params0 = self.object3d.initial_params(self.batchsize)
+
+        # appearance refinement (reference Mesh.enable_gradients_texture,
+        # diffdope.py:909-920): lift the color leaves into the optimized
+        # parameter pytree
+        extra_params = None
+        mesh = self.object3d.mesh
+        if getattr(mesh, "optimize_appearance", False):
+            if mesh.corner_colors is not None:
+                extra_params = {"corner_colors": jnp.asarray(mesh.corner_colors)}
+            elif mesh.vtx_color is not None:
+                extra_params = {"vtx_color": jnp.asarray(mesh.vtx_color)}
+
+        # fused shade+AA+loss kernel when the configuration allows it (the
+        # production fast path; appearance optimization needs the unfused
+        # render for its texture gradients)
+        fused_fn = None if extra_params is not None else self._make_fused_loss_fn(gt)
 
         # rebuilt every run: the render closure bakes in the per-run binning
         # (XLA's compile cache absorbs unchanged retraces).  Execution is
@@ -314,20 +375,10 @@ class DiffDope:
                 base_lr=self.base_lr,
                 lr_decay=self.lr_decay,
                 optimizer=self.optimizer_name,
+                fused_loss_fn=fused_fn,
             ),
             static_argnames=("num_steps",),
         )
-
-        # appearance refinement (reference Mesh.enable_gradients_texture,
-        # diffdope.py:909-920): lift the color leaves into the optimized
-        # parameter pytree
-        extra_params = None
-        mesh = self.object3d.mesh
-        if getattr(mesh, "optimize_appearance", False):
-            if mesh.corner_colors is not None:
-                extra_params = {"corner_colors": jnp.asarray(mesh.corner_colors)}
-            elif mesh.vtx_color is not None:
-                extra_params = {"vtx_color": jnp.asarray(mesh.vtx_color)}
 
         mesh_axis = int(self.cfg.get("tpu", ConfigNode()).get("mesh_axis", 1))
 
@@ -342,6 +393,7 @@ class DiffDope:
                 mesh=hypothesis_mesh(mesh_axis),
                 nb_iterations=self.nb_iterations, base_lr=self.base_lr,
                 lr_decay=self.lr_decay, optimizer=self.optimizer_name,
+                fused_loss_fn=fused_fn,
             )
         elif extra_params is not None:
             result = self._refine_jit(

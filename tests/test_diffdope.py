@@ -158,3 +158,83 @@ class TestViz:
         rgb = depth_to_rgb(d, depth_max=3.0)
         np.testing.assert_allclose(rgb[0, 0], 1.0)  # negative -> max
         np.testing.assert_allclose(rgb[0, 1], 0.5)
+
+
+def test_fused_loss_path_matches_unfused():
+    """DiffDope's automatic fused shade+AA+loss path reproduces the unfused
+    pipeline's loss trajectory (pallas raster + standard losses)."""
+    import copy
+
+    import jax.numpy as jnp
+
+    h, w = RES
+    f = 60.0
+    camera = dd.Camera(fx=f, fy=f, cx=w / 2, cy=h / 2, im_width=w, im_height=h)
+    verts, faces = icosphere(2)  # 320 tris -> pallas impl
+    mesh = Mesh(
+        pos=verts * 0.4, pos_idx=faces, vtx_normals=verts,
+        num_vertices=len(verts), num_triangles=len(faces),
+        vtx_color=(verts * 0.5 + 0.5).astype(np.float32),
+        edge_adj=build_edge_adjacency(faces),
+    )
+
+    import jax
+    from diffdope_tpu.optimize import pose_matrix, pose_params
+    from diffdope_tpu.render.pipeline import render_batch
+
+    proj = jnp.asarray(camera.cam_proj)
+    mtx_gt, _, _ = pose_matrix(pose_params(
+        np.array([0, 0, 0, 1.0], np.float32),
+        np.array([0.05, 0.0, -3.0], np.float32), 1))
+    gtr = jax.jit(lambda m: render_batch(
+        proj, m, jnp.asarray(mesh.pos), jnp.asarray(mesh.pos_idx), RES,
+        vtx_color=jnp.asarray(mesh.vtx_color), edge_adj=jnp.asarray(mesh.edge_adj),
+        raster_impl="pallas", max_tris_per_tile=512,
+    ))(mtx_gt)
+    scene = dd.Scene(
+        tensor_rgb=dd.Image(img_tensor=np.asarray(gtr["rgb"][0])),
+        tensor_segmentation=dd.Image(img_tensor=np.asarray(gtr["mask"][0])),
+    )
+
+    base_cfg = {
+        "losses": {"l1_mask": True, "weight_mask": 1.0,
+                   "l1_rgb_with_mask": True, "weight_rgb": 0.7},
+        "hyperparameters": {"batchsize": 2, "nb_iterations": 3,
+                            "base_lr": 0.3, "lr_decay": 0.1,
+                            "learning_rates_bound": [0.5, 2.0]},
+        "tpu": {"seed": 1, "optimizer": "adam", "raster_impl": "pallas",
+                "max_tris_per_tile": 512},
+    }
+    results = {}
+    for fused in (True, False):
+        cfg = copy.deepcopy(base_cfg)
+        cfg["tpu"]["fused_loss"] = fused
+        obj = dd.Object3D(
+            position=[0.0, 0.0, 3.0], rotation=[0.0, 0.0, 0.0, 1.0],
+            batchsize=2, mesh=mesh,
+        )
+        d = dd.DiffDope(cfg=dd.ConfigNode(cfg), camera=camera,
+                        object3d=obj, scene=scene)
+        d.run_optimization()
+        results[fused] = d
+
+    # Step 0 (same params, both paths' forward) must agree to f32
+    # rounding.  LATER steps cannot be compared pointwise: Adam normalizes
+    # each gradient component by its rms, so a 1-ulp difference in a
+    # near-zero component becomes a full lr-sized update divergence —
+    # exact single-step loss/grad equality between the paths is asserted
+    # in tests/test_fused_loss.py instead; here both trajectories must
+    # still optimize.
+    for key in results[True].losses_values:
+        np.testing.assert_allclose(
+            results[True].losses_values[key][0],
+            results[False].losses_values[key][0],
+            rtol=1e-5, err_msg=key,
+        )
+    np.testing.assert_allclose(
+        results[True].mtx_history[0], results[False].mtx_history[0],
+        rtol=1e-5, atol=1e-7,
+    )
+    for fused, d in results.items():
+        mask = d.losses_values["mask_selection"]
+        assert mask[-1].mean() < mask[0].mean(), f"fused={fused} not optimizing"
