@@ -410,6 +410,7 @@ class DiffDope:
         jax.block_until_ready(result.mtx_history)
         dt = time.perf_counter() - t0
 
+        self._check_bin_overflow(result)
         self._result = result
         self.mtx_history = np.asarray(result.mtx_history)
         self.losses_values = {k: np.asarray(v) for k, v in result.losses_values.items()}
@@ -425,6 +426,51 @@ class DiffDope:
             "refined %d hypotheses, %d steps in %.3fs (%.1f steps/s), final loss %.5f",
             self.batchsize, steps, dt, steps / dt, self.last_run_stats["final_loss"],
         )
+
+    def _check_bin_overflow(self, result) -> None:
+        """Warn when the refinement drifted past the sized bin capacity.
+
+        Per-tile bins are sized at the initial poses (auto: measured x1.5);
+        if the poses moved enough that a tile's triangle count exceeds the
+        capacity, (tile, triangle) pairs were silently dropped — holes in
+        coverage and missing gradients.  One eager re-binning at the final
+        poses catches the dominant failure mode (monotone approach toward
+        the camera) and names the fix."""
+        try:
+            arrays = self._mesh_arrays()
+            if arrays["pos_idx"].shape[0] <= 256 or self.raster_impl == "reference":
+                return
+            from diffdope_tpu.render.planar import (
+                bin_triangles_planar, corner_planes, packed_planar,
+            )
+
+            proj = jnp.asarray(self.camera.cam_proj, jnp.float32)
+            resolution = tuple(self.resolution)
+            max_tris = self._resolve_max_tris(arrays, proj, resolution)
+
+            @jax.jit
+            def measure(mtx):
+                mvp = jnp.einsum(
+                    "...ij,...jk->...ik", proj[None], mtx, precision="highest"
+                )
+                pos_c = arrays["pos"][arrays["pos_idx"].reshape(-1)][None]
+                cp = corner_planes(pos_c, mvp)
+                _, det = packed_planar(cp, None, None, None)
+                _, counts, overflow = bin_triangles_planar(
+                    cp, det, resolution, self.tile_hw, max_tris
+                )
+                return overflow, counts.max()
+
+            ov, cmax = jax.device_get(measure(result.mtx_history[-1]))
+            if int(ov) > 0:
+                log.warning(
+                    "bin overflow at the final poses: %d (tile, triangle) "
+                    "pairs beyond max_tris_per_tile=%d (max tile count %d) — "
+                    "renders/gradients degraded; raise tpu.max_tris_per_tile",
+                    int(ov), max_tris, int(cmax),
+                )
+        except Exception:  # diagnostics must never break a refinement
+            log.debug("bin-overflow check skipped", exc_info=True)
 
     @property
     def renders(self) -> dict:

@@ -83,7 +83,8 @@ def _pick_qrows(th: int) -> int:
 
 
 def _fwd_kernel_v2(
-    counts_ref, rlo_ref, rhi_ref, bins_ref, ids_ref, rows_ref,
+    counts_ref, rlo_ref, rhi_ref, qclo_ref, qchi_ref,
+    bins_ref, ids_ref, rows_ref,
     *, th, tw, ntx, h, w, k_chunk, q_rows,
 ):
     """Vectorized forward: see module docstring.
@@ -232,34 +233,40 @@ def _fwd_kernel_v2(
     # (The zero-fill must stay unconditional: uninitialized VMEM can hold
     # NaN bit patterns, and a NaN row — even one masked by ids == 0 —
     # poisons the backward's 0 x NaN matmul products.)
-    rows_ref[0] = jnp.zeros((PACKED_WIDTH, th, tw), jnp.float32)
+    # ---- phase C, QUAD-OUTER: per quad, accumulate the one-hot gather over
+    # the quad's chunk window (qclo/qchi, prefetched) in registers and write
+    # each row ONCE — no read-modify-write, no upfront zero fill (quads with
+    # empty windows write zeros, which also keeps NaN bit patterns from
+    # uninitialized VMEM out of the backward's 0 x NaN matmul products), and
+    # the winner column is extracted once per quad instead of per
+    # (chunk, quad).  Window chunks that do not overlap the quad's rows
+    # contribute exactly zero (the winner of a row always lies in a chunk
+    # whose range contains it).
+    def quad_c(qi, _):
+        ib4 = colq_get(ib_mat, qi)  # (q*tw, 1)
 
-    def chunk_c(ci, _):
-        base = pl.multiple_of(ci * k_chunk, 128)
-        c32 = bins_ref[0, :, pl.ds(base, k_chunk)]  # (32, kc)
-        ids_f = c32[13:14, :]
-        slot = jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1) + base
-        slot_ok = slot < count
-        q_lo, q_hi = quad_range(ci)
-
-        def quad_body(qi, _):
-            r0 = qi * q
-            ib4 = colq_get(ib_mat, qi)  # (q*tw, 1)
+        def chunk_c(ci, acc):
+            base = pl.multiple_of(ci * k_chunk, 128)
+            c32 = bins_ref[0, :, pl.ds(base, k_chunk)]  # (32, kc)
+            ids_f = c32[13:14, :]
+            slot = jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1) + base
+            slot_ok = slot < count
             indicator = ((ids_f == ib4) & slot_ok).astype(jnp.float32)
-            contrib = jax.lax.dot_general(
+            return acc + jax.lax.dot_general(
                 c32, indicator, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (32, q*tw)
-            for j in range(q):
-                rows_ref[0, :, r0 + j, :] = (
-                    rows_ref[0, :, r0 + j, :]
-                    + contrib[:, j * tw : (j + 1) * tw]
-                )
-            return 0
 
-        return jax.lax.fori_loop(q_lo, q_hi, quad_body, 0)
+        acc = jax.lax.fori_loop(
+            qclo_ref[t, qi], qchi_ref[t, qi], chunk_c,
+            jnp.zeros((PACKED_WIDTH, q * tw), jnp.float32),
+        )
+        r0 = qi * q
+        for j in range(q):
+            rows_ref[0, :, r0 + j, :] = acc[:, j * tw : (j + 1) * tw]
+        return 0
 
-    jax.lax.fori_loop(0, used, chunk_c, 0)
+    jax.lax.fori_loop(0, nq, quad_c, 0)
 
     fg = ib_mat < _BIG  # (q*tw, nq): quad-major, decoded by _untangle_ids
     ids_ref[0, 0] = jnp.where(fg, ib_mat.astype(jnp.int32) + 1, 0)
@@ -401,6 +408,29 @@ def _untangle_ids(ids_cm, resolution, padded: bool = False, q: int = 1,
     return ids[:, : resolution[0], : resolution[1]]
 
 
+def _quad_windows(rlo, rhi, th, ntx, q, h):
+    """Per-(tile, quad) conservative chunk windows [qclo, qchi) (int32).
+
+    Chunks overlapping quad qi's absolute rows; empty -> [0, 0).  Used by
+    the forward's quad-outer phase C."""
+    num_tiles, nc = rlo.shape
+    nq = th // q
+    y0 = (jnp.arange(num_tiles, dtype=jnp.int32) // ntx) * th
+    q_top = y0[:, None] + jnp.arange(nq, dtype=jnp.int32)[None, :] * q
+    q_bot = q_top + (q - 1)
+    over = (
+        (rlo[:, :, None] <= q_bot[:, None, :])
+        & (rhi[:, :, None] >= q_top[:, None, :])
+    )  # (nt, nc, nq)
+    ci = jnp.arange(nc, dtype=jnp.int32)[None, :, None]
+    any_c = jnp.any(over, axis=1)
+    qclo = jnp.min(jnp.where(over, ci, nc), axis=1)
+    qchi = jnp.max(jnp.where(over, ci, -1), axis=1) + 1
+    qclo = jnp.where(any_c, qclo, 0).astype(jnp.int32)
+    qchi = jnp.where(any_c, qchi, 0).astype(jnp.int32)
+    return qclo, qchi
+
+
 def _bins_planar(packed, tile_idx):
     """(B, 32, num_tiles*K) per-tile bin tables — the gather's natural
     output layout; tile t's table is columns [t*K, (t+1)*K)."""
@@ -458,29 +488,30 @@ def _fwd_v2(packed, tile_idx, tile_counts, resolution, tile_hw, interpret,
     bins = _bins_planar(packed, tile_idx)
     rlo, rhi = _chunk_row_bounds(bins, tile_counts, k_chunk, h, gated)
     q_rows = _pick_qrows(th)
+    qclo, qchi = _quad_windows(rlo, rhi, th, ntx, q_rows, h)
     kernel = functools.partial(
         _fwd_kernel_v2, th=th, tw=tw, ntx=ntx, h=h, w=w, k_chunk=k_chunk,
         q_rows=q_rows,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=(b, num_tiles),
         in_specs=[
             pl.BlockSpec(
                 (1, PACKED_WIDTH, k),
-                lambda bi, ti, c, rl, rh: (bi, 0, ti),
+                lambda bi, ti, *_: (bi, 0, ti),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
                 (1, 1, q_rows * tw, th // q_rows),
-                lambda bi, ti, c, rl, rh: (bi, ti // ntx, ti % ntx, 0),
+                lambda bi, ti, *_: (bi, ti // ntx, ti % ntx, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, PACKED_WIDTH, th, tw),
-                lambda bi, ti, c, rl, rh: (bi, 0, ti // ntx, ti % ntx),
+                lambda bi, ti, *_: (bi, 0, ti // ntx, ti % ntx),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -495,7 +526,7 @@ def _fwd_v2(packed, tile_idx, tile_counts, resolution, tile_hw, interpret,
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_counts, rlo, rhi, bins)
+    )(tile_counts, rlo, rhi, qclo, qchi, bins)
     return ids_cm, rows, rlo, rhi
 
 
