@@ -3,26 +3,36 @@
 Reference call site: diffdope/diffdope.py:221-226 with
 ``filter_mode="linear"`` — bilinear, no mipmaps (the passed ``uv_da`` is
 unused by linear mode, so no mip pyramid is required for parity; see
-SURVEY.md section 2.3).  'nearest' is also provided; mipmapped modes can be
-layered on later by sampling two pyramid levels selected from uv_da.
+SURVEY.md section 2.3).  The full nvdiffrast filter set is provided anyway:
+'nearest', 'linear', and the mipmapped modes 'linear-mipmap-nearest' /
+'linear-mipmap-linear', which consume ``uv_da`` (screen-space uv
+derivatives, the `diff_attrs` output of interpolate) to select a level of
+a 2x-box-filtered pyramid — level = 0.5*log2(max |d(uv*texsize)/dx|^2,
+|d(uv*texsize)/dy|^2), nvdiffrast's footprint formula.
 
-Differentiable w.r.t. both ``tex`` (4-texel gather -> scatter-add backward)
-and ``uv`` (the bilinear weights are linear in the fractional coordinates).
-Pure jnp gathers — XLA lowers these to efficient TPU dynamic-gathers and
-fuses the lerps.
+Differentiable w.r.t. both ``tex`` (texel gathers -> scatter-add backward,
+through the pyramid construction for the mip modes) and ``uv`` (the
+bilinear weights are linear in the fractional coordinates); the level
+selection itself is piecewise-constant and non-differentiated, as in
+nvdiffrast.  Pure jnp gathers — XLA lowers these to TPU dynamic-gathers
+and fuses the lerps.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
 
+FILTER_MODES = (
+    "nearest", "linear", "linear-mipmap-nearest", "linear-mipmap-linear",
+)
 
-def _wrap_index(i: Array, n: int, mode: str) -> Array:
+
+def _wrap_index(i: Array, n, mode: str) -> Array:
     if mode == "wrap":
         return jnp.remainder(i, n)
     if mode == "clamp":
@@ -33,12 +43,85 @@ def _wrap_index(i: Array, n: int, mode: str) -> Array:
     raise ValueError(f"unknown boundary_mode {mode!r}")
 
 
+def build_mip_pyramid(tex: Array, max_level: Optional[int] = None) -> List[Array]:
+    """2x box-filtered pyramid [level0, level1, ...] (nvdiffrast's
+    texture_construct_mip).  Stops at 1x1, `max_level`, or the first level
+    whose dimensions are odd."""
+    if tex.ndim == 3:
+        tex = tex[None]
+    tb, th, tw, c = tex.shape
+    levels = [tex]
+    while (
+        th > 1 and tw > 1 and th % 2 == 0 and tw % 2 == 0
+        and (max_level is None or len(levels) <= max_level)
+    ):
+        t = levels[-1].reshape(tb, th // 2, 2, tw // 2, 2, c).mean(axis=(2, 4))
+        levels.append(t)
+        th //= 2
+        tw //= 2
+    return levels
+
+
+def _mip_lod(uv_da: Array, th: int, tw: int, n_levels: int) -> Array:
+    """Per-pixel level of detail from screen-space uv derivatives.
+
+    uv_da (B, H, W, 4) = (du/dx, dv/dx, du/dy, dv/dy); footprint =
+    max squared length of the texel-space derivative vectors."""
+    dx2 = (uv_da[..., 0] * tw) ** 2 + (uv_da[..., 1] * th) ** 2
+    dy2 = (uv_da[..., 2] * tw) ** 2 + (uv_da[..., 3] * th) ** 2
+    foot = jnp.maximum(jnp.maximum(dx2, dy2), 1e-20)
+    lod = 0.5 * jnp.log2(foot)
+    return jnp.clip(lod, 0.0, float(n_levels - 1))
+
+
+def _bilinear_any_level(
+    flat: Array, offsets, ths, tws, level: Array, uv: Array,
+    boundary_mode: str,
+) -> Array:
+    """Bilinear sample at a PER-PIXEL pyramid level.
+
+    flat: (B, sum(th_l*tw_l), C) concatenated levels; offsets/ths/tws are
+    (n_levels,) int32 tables indexed by the per-pixel level."""
+    th_l = ths[level]   # (B, H, W) int32
+    tw_l = tws[level]
+    off = offsets[level]
+    fx = uv[..., 0] * tw_l.astype(uv.dtype) - 0.5
+    fy = uv[..., 1] * th_l.astype(uv.dtype) - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    ax = (fx - x0.astype(fx.dtype))[..., None]
+    ay = (fy - y0.astype(fy.dtype))[..., None]
+
+    b = uv.shape[0]
+
+    def tap(ix, iy):
+        inside = (ix >= 0) & (ix < tw_l) & (iy >= 0) & (iy < th_l)
+        ix_w = _wrap_index(ix, tw_l, boundary_mode)
+        iy_w = _wrap_index(iy, th_l, boundary_mode)
+        lin = (off + iy_w * tw_l + ix_w).reshape(b, -1)
+        val = jnp.take_along_axis(flat, lin[..., None], axis=1)
+        val = val.reshape(ix.shape + (flat.shape[-1],))
+        if boundary_mode == "zero":
+            val = jnp.where(inside[..., None], val, 0.0)
+        return val
+
+    c00 = tap(x0, y0)
+    c10 = tap(x0 + 1, y0)
+    c01 = tap(x0, y0 + 1)
+    c11 = tap(x0 + 1, y0 + 1)
+    top = c00 * (1.0 - ax) + c10 * ax
+    bot = c01 * (1.0 - ax) + c11 * ax
+    return top * (1.0 - ay) + bot * ay
+
+
 def texture(
     tex: Array,
     uv: Array,
     uv_da: Optional[Array] = None,
     filter_mode: str = "linear",
     boundary_mode: str = "wrap",
+    mip: Optional[Sequence[Array]] = None,
+    max_mip_level: Optional[int] = None,
 ) -> Array:
     """Sample a texture at per-pixel uv coordinates.
 
@@ -46,17 +129,57 @@ def texture(
         tex: (TH, TW, C) or (B, TH, TW, C) texture (differentiable).
         uv: (B, H, W, 2) coordinates in [0,1] (u right, v down in texture
             rows — matching the V-flip applied at mesh load, mesh.py).
-        uv_da: accepted for contract parity; unused by 'nearest'/'linear'.
-        filter_mode: 'linear' (bilinear) or 'nearest'.
+        uv_da: (B, H, W, 4) screen-space uv derivatives — REQUIRED by the
+            mipmapped modes (interpolate(..., diff_attrs=...) provides it);
+            accepted-and-unused by 'nearest'/'linear' (nvdiffrast parity).
+        filter_mode: one of FILTER_MODES.
         boundary_mode: 'wrap' | 'clamp' | 'zero'.
+        mip: optional precomputed pyramid (build_mip_pyramid) — pass it when
+            sampling repeatedly so the downsampling is not re-traced.
+        max_mip_level: cap the coarsest level (when building internally).
 
     Returns:
         (B, H, W, C) sampled colors.
     """
+    if filter_mode not in FILTER_MODES:
+        raise ValueError(f"unknown filter_mode {filter_mode!r}")
     if tex.ndim == 3:
         tex = tex[None]
     b, h, w, _ = uv.shape
     tb, th, tw, c = tex.shape
+
+    if filter_mode in ("linear-mipmap-nearest", "linear-mipmap-linear"):
+        if uv_da is None:
+            raise ValueError(f"filter_mode {filter_mode!r} requires uv_da")
+        levels = list(mip) if mip is not None else build_mip_pyramid(
+            tex, max_mip_level
+        )
+        levels = [lv if lv.ndim == 4 else lv[None] for lv in levels]
+        n = len(levels)
+        ths = jnp.asarray([lv.shape[1] for lv in levels], jnp.int32)
+        tws = jnp.asarray([lv.shape[2] for lv in levels], jnp.int32)
+        sizes = [lv.shape[1] * lv.shape[2] for lv in levels]
+        offsets = jnp.asarray(
+            [sum(sizes[:i]) for i in range(n)], jnp.int32
+        )
+        flat = jnp.concatenate(
+            [lv.reshape(tb, -1, c) for lv in levels], axis=1
+        )
+        if tb == 1 and b > 1:
+            flat = jnp.broadcast_to(flat, (b,) + flat.shape[1:])
+
+        lod = _mip_lod(jax.lax.stop_gradient(uv_da), th, tw, n)
+        if filter_mode == "linear-mipmap-nearest":
+            level = jnp.round(lod).astype(jnp.int32)
+            return _bilinear_any_level(
+                flat, offsets, ths, tws, level, uv, boundary_mode
+            )
+        l0 = jnp.floor(lod).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, n - 1)
+        frac = (lod - l0.astype(lod.dtype))[..., None]
+        v0 = _bilinear_any_level(flat, offsets, ths, tws, l0, uv, boundary_mode)
+        v1 = _bilinear_any_level(flat, offsets, ths, tws, l1, uv, boundary_mode)
+        return v0 * (1.0 - frac) + v1 * frac
 
     # texel-space coordinates; texel centers at integer + 0.5
     fx = uv[..., 0] * tw - 0.5
@@ -70,13 +193,6 @@ def texture(
             inside = ((ix >= 0) & (ix < tw) & (iy >= 0) & (iy < th))[..., None]
             out = jnp.where(inside, out, 0.0)
         return out
-
-    if filter_mode != "linear":
-        raise NotImplementedError(
-            f"filter_mode {filter_mode!r}: only 'linear'/'nearest' are "
-            "implemented (the reference pipeline uses 'linear', "
-            "diffdope.py:225)"
-        )
 
     x0 = jnp.floor(fx).astype(jnp.int32)
     y0 = jnp.floor(fy).astype(jnp.int32)

@@ -274,3 +274,109 @@ class TestTexture:
         out = np.asarray(texture(tex, uv, filter_mode="nearest"))
         np.testing.assert_allclose(out[0, 0, 0, 0], 1.0)
         np.testing.assert_allclose(out[0, 0, 1, 0], 1.0)
+
+
+# ---------------------------------------------------------------------------
+# mipmapped texture sampling (nvdiffrast filter_mode contract)
+# ---------------------------------------------------------------------------
+
+class TestTextureMips:
+    def _tex(self, n=16, c=3, seed=0):
+        rng = np.random.default_rng(seed)
+        return jnp.asarray(rng.uniform(size=(n, n, c)).astype(np.float32))
+
+    def _uv_grid(self, b, h, w):
+        u = (np.arange(w) + 0.5) / w
+        v = (np.arange(h) + 0.5) / h
+        uu, vv = np.meshgrid(u, v)
+        uv = np.stack([uu, vv], -1).astype(np.float32)
+        return jnp.asarray(np.broadcast_to(uv, (b, h, w, 2)))
+
+    def _uv_da(self, b, h, w, du_dx):
+        """Uniform derivatives: du/dx = dv/dy = du_dx, cross terms 0."""
+        da = np.zeros((b, h, w, 4), np.float32)
+        da[..., 0] = du_dx
+        da[..., 3] = du_dx
+        return jnp.asarray(da)
+
+    def test_pyramid_is_box_filter(self):
+        from diffdope_tpu.render.texture import build_mip_pyramid
+
+        tex = self._tex(8)
+        levels = build_mip_pyramid(tex)
+        assert [lv.shape[1] for lv in levels] == [8, 4, 2, 1]
+        expect = np.asarray(tex).reshape(4, 2, 4, 2, 3).mean(axis=(1, 3))
+        np.testing.assert_allclose(np.asarray(levels[1][0]), expect, rtol=1e-6)
+
+    @pytest.mark.parametrize("level", [0, 1, 2])
+    def test_exact_level_matches_direct_bilinear(self, level):
+        """uv_da sized for lod == level -> sampling equals bilinear of that
+        pyramid level."""
+        from diffdope_tpu.render.texture import build_mip_pyramid, texture
+
+        tex = self._tex(16)
+        levels = build_mip_pyramid(tex)
+        b, h, w = 2, 5, 7
+        uv = self._uv_grid(b, h, w)
+        # footprint (du*tw)^2 == (2^level)^2  ->  lod == level
+        da = self._uv_da(b, h, w, (2.0 ** level) / 16.0)
+        out = texture(tex, uv, da, filter_mode="linear-mipmap-nearest")
+        direct = texture(levels[level], uv, filter_mode="linear")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(direct), rtol=1e-5, atol=1e-6
+        )
+
+    def test_trilinear_blends_adjacent_levels(self):
+        from diffdope_tpu.render.texture import texture
+
+        tex = self._tex(16)
+        b, h, w = 1, 4, 4
+        uv = self._uv_grid(b, h, w)
+        # lod = 0.5 exactly: halfway between levels 0 and 1
+        da = self._uv_da(b, h, w, (2.0 ** 0.5) / 16.0)
+        out = texture(tex, uv, da, filter_mode="linear-mipmap-linear")
+        v0 = texture(tex, uv, self._uv_da(b, h, w, 1.0 / 16.0),
+                     filter_mode="linear-mipmap-linear")
+        v1 = texture(tex, uv, self._uv_da(b, h, w, 2.0 / 16.0),
+                     filter_mode="linear-mipmap-linear")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(0.5 * (v0 + v1)), rtol=1e-5, atol=1e-6
+        )
+
+    def test_constant_texture_any_lod(self):
+        from diffdope_tpu.render.texture import texture
+
+        tex = jnp.full((8, 8, 3), 0.625, jnp.float32)
+        b, h, w = 1, 3, 3
+        uv = self._uv_grid(b, h, w)
+        for du in (0.5 / 8, 1.0 / 8, 3.7 / 8, 64.0 / 8):
+            out = texture(tex, uv, self._uv_da(b, h, w, du),
+                          filter_mode="linear-mipmap-linear")
+            np.testing.assert_allclose(np.asarray(out), 0.625, rtol=1e-6)
+
+    def test_mip_gradients_flow(self):
+        from diffdope_tpu.render.texture import texture
+
+        tex = self._tex(8)
+        b, h, w = 1, 4, 4
+        uv = self._uv_grid(b, h, w)
+        da = self._uv_da(b, h, w, 1.5 / 8.0)
+
+        def loss_tex(t):
+            return jnp.sum(texture(t, uv, da, filter_mode="linear-mipmap-linear") ** 2)
+
+        def loss_uv(u):
+            return jnp.sum(texture(tex, u, da, filter_mode="linear-mipmap-linear") ** 2)
+
+        gt = jax.grad(loss_tex)(tex)
+        gu = jax.grad(loss_uv)(uv)
+        assert np.isfinite(np.asarray(gt)).all() and np.abs(np.asarray(gt)).sum() > 0
+        assert np.isfinite(np.asarray(gu)).all()
+
+    def test_mip_requires_uv_da(self):
+        from diffdope_tpu.render.texture import texture
+
+        tex = self._tex(8)
+        uv = self._uv_grid(1, 2, 2)
+        with pytest.raises(ValueError):
+            texture(tex, uv, filter_mode="linear-mipmap-linear")
