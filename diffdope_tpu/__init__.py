@@ -31,6 +31,8 @@ from diffdope_tpu.losses import (
     register_loss,
 )
 from diffdope_tpu.render import antialias, interpolate, rasterize, render_batch, texture
+from diffdope_tpu.render.pipeline import make_fused_loss
+from diffdope_tpu.metrics import add_auc, add_metric, adds_metric, object_diameter
 from diffdope_tpu.geometry import (
     matrix33_from_quat,
     matrix44_from_quat_trans,

@@ -238,3 +238,11 @@ def test_fused_loss_path_matches_unfused():
     for fused, d in results.items():
         mask = d.losses_values["mask_selection"]
         assert mask[-1].mean() < mask[0].mean(), f"fused={fused} not optimizing"
+
+
+def test_make_animation_writes_mp4(tmp_path, ddope):
+    """End-to-end mp4 via the chunked single-hypothesis render path
+    (cv2.VideoWriter fallback when no ffmpeg backend is present)."""
+    out = tmp_path / "anim.mp4"
+    ddope.make_animation(str(out), frame_rate=5, chunk=4, final_width=128)
+    assert out.exists() and out.stat().st_size > 1000
