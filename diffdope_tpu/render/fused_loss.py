@@ -56,9 +56,18 @@ Array = jax.Array
 MASK_LANE, RGB_LANE, DEPTH_LANE = 0, 1, 2
 
 
-def pick_slab_h(hp: int, target: int = 64) -> int:
-    """Largest divisor of the padded height <= target that is a multiple of
-    8 (Mosaic block second-minor constraint); hp itself when none exists."""
+def pick_slab_h(hp: int, target: int = 64, wp: int = 512) -> int:
+    """Largest divisor of the padded height that is a multiple of 8 (Mosaic
+    block second-minor constraint) and keeps the slab window under the
+    scoped-VMEM budget; hp itself when none exists.
+
+    `target` is calibrated for 512 padded columns and scales down with
+    wider images — the kernel's VMEM footprint is proportional to
+    (hs + 4) * wp, and 32-row backward slabs at wp=512 measured right at
+    the 16 MiB ceiling (a 960x540 scene with wp=1024 overflowed it)."""
+    target = max(8, (target * 512) // max(wp, 512))
+    # leave headroom below the nominal budget: the window also carries the
+    # shade/AA temporaries at the same width
     best = 0
     for d in range(8, min(hp, target) + 1, 8):
         if hp % d == 0:
@@ -335,7 +344,7 @@ def fused_loss_sums(
 def _fwd(rows, ids, gt6, dplane, resolution, n_attr, interpret):
     b, width, hp, wp = rows.shape
     h, w = resolution
-    hs = pick_slab_h(hp)
+    hs = pick_slab_h(hp, target=32, wp=wp)
     ops, ns = _operands(rows, ids, gt6, dplane, hs, gt_halos=False)
     with_depth = dplane is not None
     kernel = functools.partial(
@@ -365,7 +374,7 @@ def _vjp_bwd(resolution, n_attr, interpret, res, d_sums):
     # smaller slabs than the forward: the in-kernel vjp roughly doubles the
     # live window temps, and 32-row slabs measured right at the 16 MiB
     # scoped-vmem ceiling at bench scale (W=512)
-    hs = pick_slab_h(hp, target=24)
+    hs = pick_slab_h(hp, target=24, wp=wp)
     ops, ns = _operands(rows, ids, gt6, dplane, hs)
     with_depth = dplane is not None
 
