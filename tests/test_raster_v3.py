@@ -103,3 +103,15 @@ def test_v3_matches_v2_gradients(packed_scene):
     np.testing.assert_allclose(
         np.asarray(g2), np.asarray(g3), atol=2e-6 * max(mag, 1.0)
     )
+
+
+@pytest.mark.parametrize("q", ["1", "2", "8"])
+def test_v2_qrows_variants_match(packed_scene, q, monkeypatch):
+    """DD_QROWS is a tuning knob: every setting must produce identical
+    rasterization (quad rounding only adds no-op evaluations)."""
+    packed, cp, det = packed_scene
+    ids_ref, rows_ref = jax.jit(lambda p: _run_v2(p, cp, det))(packed)
+    monkeypatch.setenv("DD_QROWS", q)
+    ids_q, rows_q = jax.jit(lambda p: _run_v2(p, cp, det))(packed)
+    np.testing.assert_array_equal(np.asarray(ids_ref), np.asarray(ids_q))
+    np.testing.assert_array_equal(np.asarray(rows_ref), np.asarray(rows_q))
