@@ -106,8 +106,6 @@ def sweep_perturbation_levels(
     Returns {level: {'n', 'add_mean', 'add_med', 'acc_01d', 'auc_01d',
                      'mode', 'per_object': [...]}}.
     """
-    import numpy as np
-
     from diffdope_tpu.metrics import add_auc
 
     levels = list(levels or PERTURBATION_LEVELS)
@@ -165,10 +163,12 @@ def _sweep_real_frame(cfg, bop_root, models_dir, dataset, scene_id, frame,
     scene_dir = Path(bop_root) / scene_id
     with open(scene_dir / "scene_gt.json") as f:
         gt_objs = json.load(f)[str(int(frame))]
+    # scene_id is 'split/scene', so bop_root is the DATASET root — BOP
+    # checkouts keep models at <dataset>/models
     res = refine_bop_frame(
         cfg if cfg is not None else ConfigNode(),
         scene_dir,
-        Path(models_dir) if models_dir else Path(bop_root).parent / "models",
+        Path(models_dir) if models_dir else Path(bop_root) / "models",
         objs, frame=frame, obj_scale=obj_scale, mesh_cache=mesh_cache,
         gt_objs=gt_objs,
     )
@@ -252,9 +252,9 @@ def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
         lr_decay=0.1, optimizer="adam", fused_loss_fn=fused,
     ))
 
-    pts = np.asarray(mesh.pos[: mesh.num_vertices])
-    if len(pts) > 1000:
-        pts = pts[:: len(pts) // 1000]
+    from diffdope_tpu.metrics import subsample_points
+
+    pts = subsample_points(np.asarray(mesh.pos[: mesh.num_vertices]))
     pts_j = jnp.asarray(pts)
 
     @jax.jit
@@ -381,19 +381,36 @@ def refine_bop_frame(
     scene_dir = Path(scene_dir)
     models_dir = Path(models_dir)
     mesh_cache = mesh_cache if mesh_cache is not None else {}
-    resize = float(cfg.scene.get("image_resize", 1.0) or 1.0)
+    resize = float(
+        cfg.get("scene", ConfigNode()).get("image_resize", 1.0) or 1.0
+    )
     fr = str(int(frame)).zfill(6)
 
+    # BOP depth PNGs are png * depth_scale millimetres (scene_camera.json);
+    # working units are mm * obj_scale, so the Image divisor is
+    # 1 / (depth_scale * obj_scale).  (The reference loads BOP depth with
+    # its generic /100 default — only correct for depth_scale=1, cm units.)
+    cam_ds = 1.0
+    cam_json = scene_dir / "scene_camera.json"
+    if cam_json.exists():
+        with open(cam_json) as f:
+            cam_ds = float(
+                json.load(f)[str(int(frame))].get("depth_scale", 1.0)
+            )
+    depth_path = scene_dir / "depth" / f"{fr}.png"
     scene = Scene(
         path_img=str(scene_dir / "rgb" / f"{fr}.png"),
-        path_depth=str(scene_dir / "depth" / f"{fr}.png")
-        if (scene_dir / "depth" / f"{fr}.png").exists() else None,
         # placeholder only (mirrors reference run_bop_scene.py:42); the real
         # per-object mask is REQUIRED and swapped in below — a missing mask
         # raises instead of silently fitting the photo as the segmentation
         path_segmentation=str(scene_dir / "rgb" / f"{fr}.png"),
         image_resize=resize,
     )
+    if depth_path.exists():
+        scene.tensor_depth = Image(
+            img_path=str(depth_path), img_resize=resize, depth=True,
+            depth_scale=1.0 / (cam_ds * obj_scale),
+        )
     if camera is None:
         camera = load_bop_camera(scene_dir, frame, scene.get_resolution(), resize)
     if camera is None:
@@ -416,7 +433,9 @@ def refine_bop_frame(
             position=obj["cam_t_m2c"],
             rotation=obj["cam_R_m2c"],
             scale=obj_scale,
-            batchsize=int(cfg.hyperparameters.batchsize),
+            batchsize=int(
+                cfg.get("hyperparameters", ConfigNode()).get("batchsize", 16)
+            ),
             mesh=mesh,
         )
         # mask index = enumeration order, matching the reference
@@ -436,10 +455,8 @@ def refine_bop_frame(
         if ddope is None:
             ddope = DiffDope(cfg=cfg, camera=camera, object3d=pose, scene=scene)
         else:
-            ddope.object3d = pose
-            ddope.scene = scene
-            ddope._render_jit = None
-            ddope._refine_jit = None
+            ddope.set_object3d(pose)
+            ddope.set_scene(scene)
 
         ddope.run_optimization()
         pose_cv = ddope.get_pose_opencv()
@@ -455,9 +472,9 @@ def refine_bop_frame(
             import jax.numpy as jnp
 
             gt = gt_objs[i_obj]
-            pts = mesh.pos[: mesh.num_vertices]
-            if len(pts) > 1000:
-                pts = pts[:: len(pts) // 1000]
+            from diffdope_tpu.metrics import subsample_points
+
+            pts = subsample_points(mesh.pos[: mesh.num_vertices])
             r_gt = np.asarray(gt["cam_R_m2c"], float).reshape(3, 3)
             t_gt = np.asarray(gt["cam_t_m2c"], float) * obj_scale
             r_est = pose_cv[:3, :3]

@@ -156,6 +156,22 @@ class DiffDope:
         )
         self._refine_jit = None  # shape changed; retrace
 
+    def set_object3d(self, object3d: Object3D) -> None:
+        """Swap the optimized object in place (the reference's BOP flow,
+        run_bop_scene.py:82-83) and drop every cached jitted closure."""
+        self.object3d = object3d
+        self.object3d.set_batchsize(self.batchsize)
+        self._render_jit = None
+        self._refine_jit = None
+
+    def set_scene(self, scene: Scene) -> None:
+        """Swap the ground-truth scene in place and drop cached closures
+        (resolution or gt tensors may have changed)."""
+        self.scene = scene
+        self.resolution = self.scene.get_resolution()
+        self._render_jit = None
+        self._refine_jit = None
+
     def add_loss_function(self, fn: Callable) -> None:
         """Append a custom loss with the functional signature
         ``fn(renders, gt, learning_rates, weights) -> (scalar, (key, (B,)))``

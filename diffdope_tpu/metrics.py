@@ -23,7 +23,7 @@ import numpy as np
 
 Array = jax.Array
 
-__all__ = ["add_metric", "adds_metric", "add_auc", "object_diameter", "rotation_angle_deg"]
+__all__ = ["add_metric", "adds_metric", "add_auc", "object_diameter", "rotation_angle_deg", "subsample_points"]
 
 
 def _transform(points: Array, rot: Array, trans: Array) -> Array:
@@ -89,3 +89,15 @@ def rotation_angle_deg(r_a: np.ndarray, r_b: np.ndarray) -> float:
     """Geodesic angle between two rotations, degrees."""
     c = (np.trace(np.asarray(r_a).T @ np.asarray(r_b)) - 1.0) / 2.0
     return float(np.degrees(np.arccos(np.clip(c, -1.0, 1.0))))
+
+
+def subsample_points(points, target: int = 1000):
+    """Deterministic stride subsample to ~`target` points for ADD scoring
+    (shared by the BOP sweep's synthesized and real branches so their
+    metrics use identical point sets)."""
+    import numpy as np
+
+    pts = np.asarray(points)
+    if len(pts) > target:
+        pts = pts[:: len(pts) // target]
+    return pts

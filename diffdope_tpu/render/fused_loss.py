@@ -336,6 +336,11 @@ def fused_loss_sums(
     Returns:
         (B, 3) float32: [mask_sum, rgb_sum, depth_sum] — raw L1 sums
         (divide by pixel counts outside; see pipeline.make_fused_loss).
+
+    Differentiable w.r.t. `rows` (and `dplane`); `gt6` is treated as a
+    CONSTANT — its cotangent is zero by design (ground truth is never
+    optimized here).  Use the unfused render_batch + losses path to
+    differentiate a loss w.r.t. the target images.
     """
     sums, _ = _fwd(rows, ids, gt6, dplane, resolution, n_attr, interpret)
     return sums
