@@ -83,7 +83,7 @@ def _pick_qrows(th: int) -> int:
 
 
 def _fwd_kernel_v2(
-    counts_ref, rlo_ref, rhi_ref, qclo_ref, qchi_ref,
+    counts_ref, bounds_ref, qclo_ref, qchi_ref,
     bins_ref, ids_ref, rows_ref,
     *, th, tw, ntx, h, w, k_chunk, q_rows,
 ):
@@ -116,6 +116,7 @@ def _fwd_kernel_v2(
                 (array (B, nty, Wp, th); untangled on the host).
     rows_ref:   VMEM (1, 32, th, tw) f32 out.
     """
+    bi = pl.program_id(0)
     t = pl.program_id(1)
     count = counts_ref[t]
     k_max = bins_ref.shape[2]
@@ -140,8 +141,9 @@ def _fwd_kernel_v2(
     colq_iota = jax.lax.broadcasted_iota(jnp.int32, (1, nq), 1)
 
     def quad_range(ci):
-        r_lo = jnp.clip(rlo_ref[t, ci] - y0, 0, th)
-        r_hi = jnp.clip(rhi_ref[t, ci] - y0 + 1, 0, th)
+        v = bounds_ref[(bi * pl.num_programs(1) + t) * n_chunks + ci]
+        r_lo = jnp.clip(v // 1024 - 1 - y0, 0, th)
+        r_hi = jnp.clip(v % 1024 - 1 - y0 + 1, 0, th)
         return r_lo // q, (r_hi + q - 1) // q
 
     def colq_get(mat, qi):
@@ -273,7 +275,7 @@ def _fwd_kernel_v2(
 
 
 def _bwd_kernel_v2(
-    counts_ref, rlo_ref, rhi_ref, idscm_ref, tids_ref, drows_ref, out_ref,
+    counts_ref, bounds_ref, idscm_ref, tids_ref, drows_ref, out_ref,
     *, th, tw, ntx, k_chunk, q_rows,
 ):
     """d_bin(32, kc) = sum_rows d_rows(32, q*tw) @ indicator(q*tw, kc).
@@ -288,6 +290,7 @@ def _bwd_kernel_v2(
     tids_ref: VMEM (1, 8, K) f32 — bin triangle indices (8x sublane
     broadcast so a (1, kc) row slice is layout-legal).
     """
+    bi = pl.program_id(0)
     t = pl.program_id(1)
     count = counts_ref[t]
     k_max = tids_ref.shape[2]
@@ -327,8 +330,9 @@ def _bwd_kernel_v2(
                 preferred_element_type=jnp.float32,
             )  # (32, kc)
 
-        r_lo = jnp.clip(rlo_ref[t, ci] - y0, 0, th)
-        r_hi = jnp.clip(rhi_ref[t, ci] - y0 + 1, 0, th)
+        v = bounds_ref[(bi * pl.num_programs(1) + t) * n_chunks + ci]
+        r_lo = jnp.clip(v // 1024 - 1 - y0, 0, th)
+        r_hi = jnp.clip(v % 1024 - 1 - y0 + 1, 0, th)
         acc = jax.lax.fori_loop(
             r_lo // q, (r_hi + q - 1) // q, quad_body,
             jnp.zeros((PACKED_WIDTH, k_chunk), jnp.float32),
@@ -375,7 +379,7 @@ def raster_gather_rows_v2(
         ids (B, H, W) int32 (0 = background), rows (B, 32, H, W) planar
         (padded=True: (B, Hp, Wp) / (B, 32, Hp, Wp)).
     """
-    ids_cm, rows, _, _ = _fwd_v2(
+    ids_cm, rows, _ = _fwd_v2(
         packed, tile_idx, tile_counts, resolution, tile_hw, interpret, gated
     )
     ids = _untangle_ids(
@@ -409,23 +413,23 @@ def _untangle_ids(ids_cm, resolution, padded: bool = False, q: int = 1,
 
 
 def _quad_windows(rlo, rhi, th, ntx, q, h):
-    """Per-(tile, quad) conservative chunk windows [qclo, qchi) (int32).
+    """Per-(b, tile, quad) conservative chunk windows [qclo, qchi) (int32).
 
     Chunks overlapping quad qi's absolute rows; empty -> [0, 0).  Used by
     the forward's quad-outer phase C."""
-    num_tiles, nc = rlo.shape
+    b, num_tiles, nc = rlo.shape
     nq = th // q
     y0 = (jnp.arange(num_tiles, dtype=jnp.int32) // ntx) * th
     q_top = y0[:, None] + jnp.arange(nq, dtype=jnp.int32)[None, :] * q
     q_bot = q_top + (q - 1)
     over = (
-        (rlo[:, :, None] <= q_bot[:, None, :])
-        & (rhi[:, :, None] >= q_top[:, None, :])
-    )  # (nt, nc, nq)
-    ci = jnp.arange(nc, dtype=jnp.int32)[None, :, None]
-    any_c = jnp.any(over, axis=1)
-    qclo = jnp.min(jnp.where(over, ci, nc), axis=1)
-    qchi = jnp.max(jnp.where(over, ci, -1), axis=1) + 1
+        (rlo[:, :, :, None] <= q_bot[None, :, None, :])
+        & (rhi[:, :, :, None] >= q_top[None, :, None, :])
+    )  # (b, nt, nc, nq)
+    ci = jnp.arange(nc, dtype=jnp.int32)[None, None, :, None]
+    any_c = jnp.any(over, axis=2)
+    qclo = jnp.min(jnp.where(over, ci, nc), axis=2)
+    qchi = jnp.max(jnp.where(over, ci, -1), axis=2) + 1
     qclo = jnp.where(any_c, qclo, 0).astype(jnp.int32)
     qchi = jnp.where(any_c, qchi, 0).astype(jnp.int32)
     return qclo, qchi
@@ -441,38 +445,46 @@ def _bins_planar(packed, tile_idx):
 
 
 def _chunk_row_bounds(bins, tile_counts, k_chunk, h, gated):
-    """Per-chunk conservative absolute pixel-row ranges (num_tiles, nc) i32.
+    """Per-chunk conservative absolute pixel-row ranges (B, num_tiles, nc).
 
-    Union over the batch of the y-bound lanes (planar.YLO_LANE/YHI_LANE),
-    masked to real slots, then converted to pixel rows with one spare row
-    of slack on each side (gating must never cut a covered pixel)."""
+    PER HYPOTHESIS (not unioned over the batch): the bins are a shared
+    superset, but each hypothesis's pose only covers its own y-interval per
+    chunk — once hypotheses diverge during a refinement, per-b bounds gate
+    tighter than the union.  Converted to pixel rows with one spare row of
+    slack on each side (gating must never cut a covered pixel)."""
     b, width, ntk = bins.shape
     num_tiles = tile_counts.shape[0]
     k = ntk // num_tiles
     nc = k // k_chunk
     if not gated:
         return (
-            jnp.zeros((num_tiles, nc), jnp.int32),
-            jnp.full((num_tiles, nc), h, jnp.int32),
+            jnp.zeros((b, num_tiles, nc), jnp.int32),
+            jnp.full((b, num_tiles, nc), h, jnp.int32),
         )
     slot_ok = (
         jnp.arange(k, dtype=jnp.int32)[None, :] < tile_counts[:, None]
     ).reshape(1, ntk)  # (1, num_tiles*k)
     big = jnp.float32(4.0)
-    ylo = jnp.min(
-        jnp.where(slot_ok, bins[:, PACKED_WIDTH - 2, :], big), axis=0
-    ).reshape(num_tiles, k)
-    yhi = jnp.max(
-        jnp.where(slot_ok, bins[:, PACKED_WIDTH - 1, :], -big), axis=0
-    ).reshape(num_tiles, k)
-    ylo = jnp.min(ylo.reshape(num_tiles, nc, k_chunk), axis=-1)
-    yhi = jnp.max(yhi.reshape(num_tiles, nc, k_chunk), axis=-1)
+    ylo = jnp.where(slot_ok, bins[:, PACKED_WIDTH - 2, :], big)
+    yhi = jnp.where(slot_ok, bins[:, PACKED_WIDTH - 1, :], -big)
+    ylo = jnp.min(ylo.reshape(b, num_tiles, nc, k_chunk), axis=-1)
+    yhi = jnp.max(yhi.reshape(b, num_tiles, nc, k_chunk), axis=-1)
     # pixel row r has NDC y = (2r+1)/h - 1, so coverage implies
     # r in [(ylo+1)h/2 - 1/2, (yhi+1)h/2 - 1/2]; half a row of slack absorbs
     # the f32 rounding between this bound and the kernel's edge-sign tests
     rlo = jnp.ceil((ylo + 1.0) * (h / 2.0) - 1.0).astype(jnp.int32)
     rhi = jnp.floor((yhi + 1.0) * (h / 2.0)).astype(jnp.int32)
     return jnp.clip(rlo, -1, h), jnp.clip(rhi, -1, h)
+
+
+def _pack_bounds(rlo, rhi):
+    """(B, nt, nc) bounds -> flat (B*nt*nc,) int32, (rlo+1)*1024 + (rhi+1).
+
+    SMEM pads 2-D scalar-prefetch operands' minor dim to 128 lanes — per-b
+    tables at (B, nt, nc) blew the 1 MiB SMEM budget 14x; a packed flat
+    vector fits (h <= 1022 assumed; decoded in-kernel with one divmod)."""
+    v = (rlo + 1) * 1024 + (rhi + 1)
+    return v.reshape(-1).astype(jnp.int32)
 
 
 def _fwd_v2(packed, tile_idx, tile_counts, resolution, tile_hw, interpret,
@@ -487,14 +499,21 @@ def _fwd_v2(packed, tile_idx, tile_counts, resolution, tile_hw, interpret,
 
     bins = _bins_planar(packed, tile_idx)
     rlo, rhi = _chunk_row_bounds(bins, tile_counts, k_chunk, h, gated)
+    bounds = _pack_bounds(rlo, rhi)
     q_rows = _pick_qrows(th)
-    qclo, qchi = _quad_windows(rlo, rhi, th, ntx, q_rows, h)
+    # phase C windows stay UNION over the batch (small SMEM tables); phase
+    # A/backward row gating is per hypothesis via the packed flat table
+    qclo, qchi = _quad_windows(
+        jnp.min(rlo, axis=0, keepdims=True),
+        jnp.max(rhi, axis=0, keepdims=True), th, ntx, q_rows, h,
+    )
+    qclo, qchi = qclo[0], qchi[0]
     kernel = functools.partial(
         _fwd_kernel_v2, th=th, tw=tw, ntx=ntx, h=h, w=w, k_chunk=k_chunk,
         q_rows=q_rows,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(b, num_tiles),
         in_specs=[
             pl.BlockSpec(
@@ -526,14 +545,14 @@ def _fwd_v2(packed, tile_idx, tile_counts, resolution, tile_hw, interpret,
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_counts, rlo, rhi, qclo, qchi, bins)
-    return ids_cm, rows, rlo, rhi
+    )(tile_counts, bounds, qclo, qchi, bins)
+    return ids_cm, rows, bounds
 
 
 def _vjp_fwd_v2(packed, tile_idx, tile_counts, inv_pos, inv_valid,
                 resolution, tile_hw, interpret=False, gated=True,
                 padded=False):
-    ids_cm, rows, rlo, rhi = _fwd_v2(
+    ids_cm, rows, bounds = _fwd_v2(
         packed, tile_idx, tile_counts, resolution, tile_hw, interpret, gated
     )
     ids = _untangle_ids(
@@ -541,14 +560,14 @@ def _vjp_fwd_v2(packed, tile_idx, tile_counts, inv_pos, inv_valid,
     )
     rows_out = rows if padded else rows[:, :, : resolution[0], : resolution[1]]
     res = (packed.shape, tile_idx, tile_counts, ids_cm, inv_pos, inv_valid,
-           rlo, rhi)
+           bounds)
     return (ids, rows_out), res
 
 
 def _vjp_bwd_v2(resolution, tile_hw, interpret, gated, padded, res,
                 cotangents):
     (packed_shape, tile_idx, tile_counts, ids_cm, inv_pos, inv_valid,
-     rlo, rhi) = res
+     bounds) = res
     _, d_rows = cotangents
     b, width, t_count = packed_shape
     h, w = resolution
@@ -573,26 +592,26 @@ def _vjp_bwd_v2(resolution, tile_hw, interpret, gated, padded, res,
         q_rows=q_rows,
     )
     bwd_grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(b, num_tiles),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, q_rows * tw, th // q_rows),
-                lambda bi, ti, c, rl, rh: (bi, ti // ntx, ti % ntx, 0),
+                lambda bi, ti, *_: (bi, ti // ntx, ti % ntx, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 8, k), lambda bi, ti, c, rl, rh: (ti, 0, 0),
+                (1, 8, k), lambda bi, ti, *_: (ti, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, PACKED_WIDTH, th, tw),
-                lambda bi, ti, c, rl, rh: (bi, 0, ti // ntx, ti % ntx),
+                lambda bi, ti, *_: (bi, 0, ti // ntx, ti % ntx),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, PACKED_WIDTH, k), lambda bi, ti, c, rl, rh: (bi, 0, ti),
+            (1, PACKED_WIDTH, k), lambda bi, ti, *_: (bi, 0, ti),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -605,7 +624,7 @@ def _vjp_bwd_v2(resolution, tile_hw, interpret, gated, padded, res,
         ),
         grid_spec=bwd_grid,
         interpret=interpret,
-    )(tile_counts, rlo, rhi, ids_cm, tids, d_rows_p)
+    )(tile_counts, bounds, ids_cm, tids, d_rows_p)
 
     # per-triangle reduction over its <=M tile occurrences (lane gathers)
     m = inv_pos.shape[1]
