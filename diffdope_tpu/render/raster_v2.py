@@ -83,7 +83,7 @@ def _pick_qrows(th: int) -> int:
 
 
 def _fwd_kernel_v2(
-    counts_ref, bounds_ref, qclo_ref, qchi_ref,
+    counts_ref, bounds_ref, qwin_ref,
     bins_ref, ids_ref, rows_ref,
     *, th, tw, ntx, h, w, k_chunk, q_rows,
 ):
@@ -259,8 +259,9 @@ def _fwd_kernel_v2(
                 preferred_element_type=jnp.float32,
             )  # (32, q*tw)
 
+        qv = qwin_ref[(bi * pl.num_programs(1) + t) * nq + qi]
         acc = jax.lax.fori_loop(
-            qclo_ref[t, qi], qchi_ref[t, qi], chunk_c,
+            qv // 256, qv % 256, chunk_c,
             jnp.zeros((PACKED_WIDTH, q * tw), jnp.float32),
         )
         r0 = qi * q
@@ -501,19 +502,16 @@ def _fwd_v2(packed, tile_idx, tile_counts, resolution, tile_hw, interpret,
     rlo, rhi = _chunk_row_bounds(bins, tile_counts, k_chunk, h, gated)
     bounds = _pack_bounds(rlo, rhi)
     q_rows = _pick_qrows(th)
-    # phase C windows stay UNION over the batch (small SMEM tables); phase
-    # A/backward row gating is per hypothesis via the packed flat table
-    qclo, qchi = _quad_windows(
-        jnp.min(rlo, axis=0, keepdims=True),
-        jnp.max(rhi, axis=0, keepdims=True), th, ntx, q_rows, h,
-    )
-    qclo, qchi = qclo[0], qchi[0]
+    # phase C windows are per hypothesis too, packed the same flat way
+    # (qclo*256 + qchi; supports up to 255 chunks per tile)
+    qclo, qchi = _quad_windows(rlo, rhi, th, ntx, q_rows, h)
+    qwin = (qclo * 256 + qchi).reshape(-1).astype(jnp.int32)
     kernel = functools.partial(
         _fwd_kernel_v2, th=th, tw=tw, ntx=ntx, h=h, w=w, k_chunk=k_chunk,
         q_rows=q_rows,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(b, num_tiles),
         in_specs=[
             pl.BlockSpec(
@@ -545,7 +543,7 @@ def _fwd_v2(packed, tile_idx, tile_counts, resolution, tile_hw, interpret,
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_counts, bounds, qclo, qchi, bins)
+    )(tile_counts, bounds, qwin, bins)
     return ids_cm, rows, bounds
 
 
