@@ -171,9 +171,32 @@ def _fwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth):
         ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, None, None, dpl
     )
     x, y, valid, own = _window_geometry(si, hs, h, w, wp)
-    m_sum, r_sum, d_sum = _window_terms(
-        rows_w, ids_w, gt_w, dpl_w, x, y, valid, valid & own, n_attr
-    )
+
+    # slabs with no foreground anywhere in the window (incl. halos, which
+    # could seed antialias pairs) reduce to gt-only constants: aa == 0 and
+    # every attribute == 0, so |0 - gt| terms remain — computed directly
+    # instead of running the full shade+AA (typically ~half the slabs)
+    active = jnp.any(ids_w > 0)
+
+    def full(_):
+        return _window_terms(
+            rows_w, ids_w, gt_w, dpl_w, x, y, valid, valid & own, n_attr
+        )
+
+    def bg_only(_):
+        lm = (valid & own).astype(rows_w.dtype)
+        m_sum = jnp.float32(0.0)
+        r_sum = jnp.float32(0.0)
+        for c in range(3):
+            m_sum = m_sum + jnp.sum(gt_w[c] * lm)
+            r_sum = r_sum + jnp.sum(gt_w[3 + c] * gt_w[c] * lm)
+        if dpl_w is not None:
+            d_sum = jnp.sum(jnp.abs(dpl_w) * gt_w[0] * lm)
+        else:
+            d_sum = jnp.float32(0.0)
+        return m_sum, r_sum, d_sum
+
+    m_sum, r_sum, d_sum = jax.lax.cond(active, full, bg_only, 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     out_ref[0, 0] = (
         jnp.where(lane == MASK_LANE, m_sum, 0.0)
@@ -212,22 +235,43 @@ def _bwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth):
         return jnp.sum(jnp.where(lane1 == k, dvec, 0.0))
 
     dm, dr, dd = _lane(MASK_LANE), _lane(RGB_LANE), _lane(DEPTH_LANE)
-    if with_depth:
-        def f(rw, dw):
-            return _window_terms(rw, ids_w, gt_w, dw, x, y, valid, lm, n_attr)
 
-        _, pull = jax.vjp(f, rows_w, dpl_w)
-        d_rows_w, d_dpl_w = pull((dm, dr, dd))
-        d_dpl_ref[0] = d_dpl_w[2 : 2 + hs]
-    else:
-        def f(rw):
-            return _window_terms(
-                rw, ids_w, gt_w, None, x, y, valid, lm, n_attr
-            )
+    # no-foreground windows: aa/attrs are identically zero, and the only
+    # d_rows a background pixel could carry (through the zero attribute
+    # planes) would be discarded by the raster backward's winner indicator
+    # anyway (ids == 0 matches nothing) -> skip the vjp entirely
+    active = jnp.any(ids_w > 0)
 
-        _, pull = jax.vjp(f, rows_w)
-        (d_rows_w,) = pull((dm, dr, dd))
-    d_rows_ref[0] = d_rows_w[:, 2 : 2 + hs, :]
+    @pl.when(active)
+    def _full():
+        if with_depth:
+            def f(rw, dw):
+                return _window_terms(
+                    rw, ids_w, gt_w, dw, x, y, valid, lm, n_attr
+                )
+
+            _, pull = jax.vjp(f, rows_w, dpl_w)
+            d_rows_w, d_dpl_w = pull((dm, dr, dd))
+            d_dpl_ref[0] = d_dpl_w[2 : 2 + hs]
+        else:
+            def f(rw):
+                return _window_terms(
+                    rw, ids_w, gt_w, None, x, y, valid, lm, n_attr
+                )
+
+            _, pull = jax.vjp(f, rows_w)
+            (d_rows_w,) = pull((dm, dr, dd))
+        d_rows_ref[0] = d_rows_w[:, 2 : 2 + hs, :]
+
+    @pl.when(jnp.logical_not(active))
+    def _bg():
+        d_rows_ref[0] = jnp.zeros(d_rows_ref.shape[1:], jnp.float32)
+        if with_depth:
+            # depth term still differentiates w.r.t. dplane on background:
+            # d|0 + dpl| = sign(dpl) * seg0 * mask * dd
+            lmf = lm.astype(jnp.float32)
+            d_dpl_w = dd * jnp.sign(dpl_w) * gt_w[0] * lmf
+            d_dpl_ref[0] = d_dpl_w[2 : 2 + hs]
 
 
 def _halo_arrays(rows, ids, gt6, dplane, hs):
