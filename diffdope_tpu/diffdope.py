@@ -426,6 +426,17 @@ class DiffDope:
         jax.block_until_ready(result.mtx_history)
         dt = time.perf_counter() - t0
 
+        # appearance refinement updates the mesh in place (the reference's
+        # nn.Parameter texture is mutated by the optimizer the same way,
+        # diffdope.py:909-920), so subsequent renders/history use the
+        # refined colors
+        if extra_params is not None:
+            if "corner_colors" in result.params:
+                mesh.corner_colors = np.asarray(result.params["corner_colors"])
+            if "vtx_color" in result.params:
+                mesh.vtx_color = np.asarray(result.params["vtx_color"])
+            self._render_jit = None
+
         self._check_bin_overflow(result)
         self._result = result
         self.mtx_history = np.asarray(result.mtx_history)
