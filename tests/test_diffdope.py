@@ -246,3 +246,25 @@ def test_make_animation_writes_mp4(tmp_path, ddope):
     out = tmp_path / "anim.mp4"
     ddope.make_animation(str(out), frame_rate=5, chunk=4, final_width=128)
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_appearance_writeback():
+    """enable_gradients_texture: refined colors are optimized alongside the
+    pose and written back into the mesh (reference diffdope.py:909-920)."""
+    d = _make_ddope(batchsize=2, nb_iterations=3)
+    mesh = d.object3d.mesh
+    before = np.asarray(mesh.vtx_color).copy()
+    mesh.vtx_color = np.full_like(before, 0.35)
+    mesh.enable_gradients_texture()
+    d.cfg.losses.l1_rgb_with_mask = True
+    d.cfg.losses.weight_rgb = 1.0
+    from diffdope_tpu.losses import select_losses
+
+    d.loss_functions, d.loss_weights = select_losses(d.cfg.losses)
+    d.run_optimization()
+    after = np.asarray(mesh.vtx_color)
+    assert after.shape == before.shape
+    assert np.abs(after - 0.35).max() > 1e-5, "colors did not move"
+    # history re-renders must use the refined colors (no stale cache)
+    entry = d.optimization_results[-1]
+    assert entry["rgb"].shape[0] == 2
