@@ -478,12 +478,17 @@ def _chunk_row_bounds(bins, tile_counts, k_chunk, h, gated):
     return jnp.clip(rlo, -1, h), jnp.clip(rhi, -1, h)
 
 
-def _pack_bounds(rlo, rhi):
+def _pack_bounds(rlo, rhi, h):
     """(B, nt, nc) bounds -> flat (B*nt*nc,) int32, (rlo+1)*1024 + (rhi+1).
 
     SMEM pads 2-D scalar-prefetch operands' minor dim to 128 lanes — per-b
     tables at (B, nt, nc) blew the 1 MiB SMEM budget 14x; a packed flat
-    vector fits (h <= 1022 assumed; decoded in-kernel with one divmod)."""
+    vector fits (decoded in-kernel with one divmod)."""
+    if h > 1022:
+        raise ValueError(
+            f"raster_v2 packed row bounds support images up to 1022 rows "
+            f"(got H={h}); raise the radix in _pack_bounds/the kernels"
+        )
     v = (rlo + 1) * 1024 + (rhi + 1)
     return v.reshape(-1).astype(jnp.int32)
 
@@ -500,7 +505,7 @@ def _fwd_v2(packed, tile_idx, tile_counts, resolution, tile_hw, interpret,
 
     bins = _bins_planar(packed, tile_idx)
     rlo, rhi = _chunk_row_bounds(bins, tile_counts, k_chunk, h, gated)
-    bounds = _pack_bounds(rlo, rhi)
+    bounds = _pack_bounds(rlo, rhi, h)
     q_rows = _pick_qrows(th)
     # phase C windows are per hypothesis too, packed the same flat way
     # (qclo*256 + qchi; supports up to 255 chunks per tile)
