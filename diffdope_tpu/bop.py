@@ -80,6 +80,9 @@ def sweep_perturbation_levels(
     seed: int = 0,
     shard=(0, 1),
     log_fn=print,
+    optimizer: str = "adam",
+    base_lr: float = 0.02,
+    lr_bounds=(0.5, 4.0),
 ) -> Dict[str, dict]:
     """Sweep the bundled perturbation JSONs and aggregate ADD(-S)/AUC.
 
@@ -134,6 +137,7 @@ def sweep_perturbation_levels(
                     per_object.extend(_sweep_synth_objects(
                         objs, level, scene_id, frame, mesh_path, obj_scale,
                         resolution, batchsize, nb_iterations, seed, log_fn,
+                        optimizer, base_lr, lr_bounds,
                     ))
         adds = np.asarray([o["add"] for o in per_object], float)
         dias = np.asarray([o["diameter"] for o in per_object], float)
@@ -181,7 +185,8 @@ def _sweep_real_frame(cfg, bop_root, models_dir, dataset, scene_id, frame,
 
 
 def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
-                   obj_scale, seed):
+                   obj_scale, seed, optimizer="adam", base_lr=0.02,
+                   lr_bounds=(0.5, 4.0)):
     """Jitted sweep machinery, built once per configuration.
 
     Every device function takes the scene-varying values (poses, gt images)
@@ -189,7 +194,7 @@ def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
     the axon backend each retrace costs ~30s of remote compiles.
     """
     key = (str(mesh_path), tuple(resolution), batchsize, nb_iterations,
-           obj_scale, seed)
+           obj_scale, seed, optimizer, base_lr, tuple(lr_bounds))
     if key in _synth_ctx_cache:
         return _synth_ctx_cache[key]
 
@@ -231,7 +236,10 @@ def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
     loss_fns, weights = select_losses(
         {"l1_mask": True, "weight_mask": 1.0,
          "l1_rgb_with_mask": True, "weight_rgb": 0.7})
-    lrs = draw_learning_rates(jax.random.PRNGKey(seed), batchsize, (0.5, 4.0))
+    # NB under adam the per-hypothesis loss scales are a no-op (adam is
+    # invariant to gradient scale); the reference's basin-hopping diversity
+    # needs sgd + wide bounds (its defaults: sgd, base_lr=20, [0.01, 100])
+    lrs = draw_learning_rates(jax.random.PRNGKey(seed), batchsize, lr_bounds)
     # gt deferred (None): fn(mtx, gt) — one trace serves every object
     fused = make_fused_loss(
         proj, pos, tri, resolution, None, lrs, weights,
@@ -248,8 +256,8 @@ def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
 
     jit_refine = jax.jit(functools.partial(
         refine, render_fn=render_fn, loss_fns=tuple(loss_fns),
-        weights=weights, nb_iterations=nb_iterations, base_lr=0.02,
-        lr_decay=0.1, optimizer="adam", fused_loss_fn=fused,
+        weights=weights, nb_iterations=nb_iterations, base_lr=base_lr,
+        lr_decay=0.1, optimizer=optimizer, fused_loss_fn=fused,
     ))
 
     from diffdope_tpu.metrics import subsample_points
@@ -276,14 +284,16 @@ def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
 
 
 def _sweep_synth_objects(objs, level, scene_id, frame, mesh_path, obj_scale,
-                         resolution, batchsize, nb_iterations, seed, log_fn):
+                         resolution, batchsize, nb_iterations, seed, log_fn,
+                         optimizer="adam", base_lr=0.02,
+                         lr_bounds=(0.5, 4.0)):
     """Synthesized branch: JSON pose = gt, init = gt + level perturbation."""
     import zlib
 
     import jax.numpy as jnp
 
     ctx = _synth_context(mesh_path, resolution, batchsize, nb_iterations,
-                         obj_scale, seed)
+                         obj_scale, seed, optimizer, base_lr, lr_bounds)
     geo = ctx["geo"]
     deg, trans_mm = parse_level(level)
     rng = np.random.default_rng(

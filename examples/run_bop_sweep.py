@@ -49,6 +49,11 @@ def main():
                     default="/root/reference/data/example/mesh/AlphabetSoup.ply",
                     help="stand-in mesh for the synthesized protocol")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--optimizer", default="adam", choices=["adam", "sgd"])
+    ap.add_argument("--base-lr", type=float, default=0.02)
+    ap.add_argument("--lr-bounds", default="0.5,4.0",
+                    help="per-hypothesis loss-scale bounds (sgd only: adam "
+                         "is invariant to gradient scale)")
     ap.add_argument("--shard", default="0/1", help="i/n per-host scene shard")
     ap.add_argument("--out", default=None, help="write full results JSON here")
     args = ap.parse_args()
@@ -77,6 +82,9 @@ def main():
         models_dir=args.models_dir,
         seed=args.seed,
         shard=(i, n),
+        optimizer=args.optimizer,
+        base_lr=args.base_lr,
+        lr_bounds=tuple(float(v) for v in args.lr_bounds.split(",")),
     )
 
     print()
