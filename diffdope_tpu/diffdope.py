@@ -251,6 +251,23 @@ class DiffDope:
         log.info("auto max_tris_per_tile: measured %d -> K=%d", max_count, k)
         return k
 
+    def _precompute_bins(self, arrays, proj, resolution, max_tris):
+        """Bins at the initial poses, widened by tpu.bin_margin_px — shared
+        by the unfused (render_fn) and fused loss paths when
+        tpu.precompute_bins is set (removes the per-step re-binning)."""
+        from diffdope_tpu.optimize import pose_matrix
+        from diffdope_tpu.render.pipeline import precompute_bins
+
+        params0 = self.object3d.initial_params(self.batchsize)
+        mtx0, _, _ = jax.jit(pose_matrix)(params0)
+        margin = float(self.cfg.get("tpu", ConfigNode()).get("bin_margin_px", 24.0))
+        return jax.jit(
+            lambda m: precompute_bins(
+                proj, m, arrays["pos"], arrays["pos_idx"], resolution,
+                self.tile_hw, max_tris, margin,
+            )
+        )(mtx0)
+
     def _make_render_fn(self, layout: str = "channels", with_bins: bool = False):
         arrays = self._mesh_arrays()
         proj = jnp.asarray(self.camera.cam_proj, jnp.float32)
@@ -262,18 +279,7 @@ class DiffDope:
         if impl == "auto":
             impl = "reference" if arrays["pos_idx"].shape[0] <= 256 else "pallas"
         if with_bins and impl == "pallas":
-            from diffdope_tpu.optimize import pose_matrix
-            from diffdope_tpu.render.pipeline import precompute_bins
-
-            params0 = self.object3d.initial_params(self.batchsize)
-            mtx0, _, _ = jax.jit(pose_matrix)(params0)
-            margin = float(self.cfg.get("tpu", ConfigNode()).get("bin_margin_px", 24.0))
-            bins = jax.jit(
-                lambda m: precompute_bins(
-                    proj, m, arrays["pos"], arrays["pos_idx"], resolution,
-                    self.tile_hw, max_tris, margin,
-                )
-            )(mtx0)
+            bins = self._precompute_bins(arrays, proj, resolution, max_tris)
 
         def render_fn(mtx, tex=None, vtx_color=None, corner_colors=None):
             kw = dict(arrays)
@@ -302,10 +308,12 @@ class DiffDope:
             self._render_jit = jax.jit(self._make_render_fn(layout="stacked"))
         return self._render_jit(mtx)
 
-    def _make_fused_loss_fn(self, gt, bins=None):
+    def _make_fused_loss_fn(self, gt, use_bins: bool = False):
         """Fused render+loss kernel closure when the configuration allows it
         (pallas raster, per-corner colors, standard reference losses only) —
-        pipeline.make_fused_loss; None means the unfused path must run."""
+        pipeline.make_fused_loss; None means the unfused path must run.
+        ``use_bins`` threads tpu.precompute_bins through to the kernel (the
+        fused path otherwise re-bins every step)."""
         from diffdope_tpu.losses import LOSS_REGISTRY
         from diffdope_tpu.render.pipeline import make_fused_loss
 
@@ -337,6 +345,10 @@ class DiffDope:
         proj = jnp.asarray(self.camera.cam_proj, jnp.float32)
         resolution = tuple(self.resolution)
         max_tris = self._resolve_max_tris(arrays, proj, resolution)
+        bins = (
+            self._precompute_bins(arrays, proj, resolution, max_tris)
+            if use_bins else None
+        )
         return make_fused_loss(
             proj, arrays["pos"], arrays["pos_idx"], resolution, gt,
             self.learning_rates, self.loss_weights,
@@ -375,7 +387,10 @@ class DiffDope:
         # fused shade+AA+loss kernel when the configuration allows it (the
         # production fast path; appearance optimization needs the unfused
         # render for its texture gradients)
-        fused_fn = None if extra_params is not None else self._make_fused_loss_fn(gt)
+        fused_fn = (
+            None if extra_params is not None
+            else self._make_fused_loss_fn(gt, use_bins=use_bins)
+        )
 
         # rebuilt every run: the render closure bakes in the per-run binning
         # (XLA's compile cache absorbs unchanged retraces).  Execution is
@@ -407,6 +422,7 @@ class DiffDope:
                 params0, render_fn, tuple(self.loss_functions), gt,
                 self.learning_rates, self.loss_weights,
                 mesh=hypothesis_mesh(mesh_axis),
+                extra_params=extra_params,
                 nb_iterations=self.nb_iterations, base_lr=self.base_lr,
                 lr_decay=self.lr_decay, optimizer=self.optimizer_name,
                 fused_loss_fn=fused_fn,
@@ -443,10 +459,21 @@ class DiffDope:
         self.losses_values = {k: np.asarray(v) for k, v in result.losses_values.items()}
         self.optimization_results = RenderHistory(self)
         steps = self.nb_iterations + 1
+        # Split trace+compile from steady-state throughput: the fastest
+        # dispatched segment is compile-free, so its rate is the steady rate
+        # and the residual of the total wall is (re)compilation.  A
+        # single-segment run can't be split (compile_s/steady stay None).
+        compile_s = steady_sps = None
+        seg = getattr(result, "segment_times", None)
+        if seg and len(seg) > 1:
+            steady_sps = max(n / t for n, t in seg)
+            compile_s = max(0.0, dt - steps / steady_sps)
         self.last_run_stats = {
             "wall_time_s": dt,
             "steps": steps,
             "steps_per_sec": steps / dt,
+            "compile_s": compile_s,
+            "steady_steps_per_sec": steady_sps,
             "final_loss": float(np.asarray(result.total_loss)[-1]),
         }
         log.info(
@@ -460,9 +487,25 @@ class DiffDope:
         Per-tile bins are sized at the initial poses (auto: measured x1.5);
         if the poses moved enough that a tile's triangle count exceeds the
         capacity, (tile, triangle) pairs were silently dropped — holes in
-        coverage and missing gradients.  One eager re-binning at the final
-        poses catches the dominant failure mode (monotone approach toward
-        the camera) and names the fix."""
+        coverage and missing gradients.  Preferred signal: the scan-carried
+        per-step overflow telemetry (catches mid-trajectory excursions, e.g.
+        an object swinging toward the camera and back).  Fallback when the
+        run produced no telemetry (precomputed bins): one eager re-binning
+        at the final poses."""
+        telem = getattr(result, "telemetry", None) or {}
+        if "_bin_overflow" in telem:
+            ov_steps = np.asarray(telem["_bin_overflow"])
+            if int(ov_steps.max(initial=0)) > 0:
+                worst = int(ov_steps.argmax())
+                log.warning(
+                    "bin overflow during refinement: up to %d (tile, triangle) "
+                    "pairs dropped per step (worst at step %d/%d; %d steps "
+                    "affected) — renders/gradients degraded on those steps; "
+                    "raise tpu.max_tris_per_tile",
+                    int(ov_steps.max()), worst, len(ov_steps),
+                    int((ov_steps > 0).sum()),
+                )
+            return
         try:
             arrays = self._mesh_arrays()
             if arrays["pos_idx"].shape[0] <= 256 or self.raster_impl == "reference":

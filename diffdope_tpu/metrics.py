@@ -49,13 +49,20 @@ def add_metric(points: Array, r_est: Array, t_est: Array, r_gt: Array, t_gt: Arr
 
 
 def adds_metric(
-    points: Array, r_est: Array, t_est: Array, r_gt: Array, t_gt: Array
+    points: Array, r_est: Array, t_est: Array, r_gt: Array, t_gt: Array,
+    max_points: int = 2000,
 ) -> Array:
     """ADD-S: mean nearest-neighbor distance (symmetric objects).
 
-    O(N^2) pairwise distances on device — subsample points (<= ~2000) for
-    large meshes.
+    O(N^2) pairwise distances on device, so the point set is capped inside
+    the metric: above ``max_points`` a deterministic stride subsample is
+    applied (same rule as subsample_points), bounding the distance matrix at
+    max_points^2 regardless of mesh size.  Pass ``max_points=None`` to
+    disable.
     """
+    if max_points is not None and points.shape[-2] > max_points:
+        step = points.shape[-2] // max_points
+        points = points[..., ::step, :]
     pe = _transform(points, r_est, t_est)  # (...,N,3)
     pg = _transform(points, r_gt, t_gt)
     d2 = jnp.sum((pe[..., :, None, :] - pg[..., None, :, :]) ** 2, axis=-1)

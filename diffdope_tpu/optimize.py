@@ -44,6 +44,13 @@ class RefineResult(NamedTuple):
     losses_values: Dict[str, Array]   # per-term logs, each (steps, B)
     total_loss: Array                 # (steps,)
     opt_state: Any = None             # optax state (for segmented runs)
+    segment_times: Any = None         # [(steps, wall_s), ...] per dispatched
+                                      # segment (refine_segmented only) —
+                                      # lets callers split compile from
+                                      # steady-state throughput
+    telemetry: Any = None             # per-step diagnostics dict (underscore
+                                      # log keys, e.g. _bin_overflow), each
+                                      # (steps,) or (steps, ...)
 
 
 def pose_params(quat, trans, batchsize: int) -> Dict[str, Array]:
@@ -176,7 +183,7 @@ def refine(
         extra = {k: params[k] for k in extra_keys}
         renders = render_fn(mtx, **extra)
         total = jnp.float32(0.0)
-        logs = {}
+        logs = {k: v for k, v in renders.items() if k.startswith("_")}
         for fn in loss_fns:
             term, (key, values) = fn(renders, gt, learning_rates, weights)
             total = total + term
@@ -195,12 +202,18 @@ def refine(
     (final_params, final_opt_state), ys = jax.lax.scan(
         step, (all_params, opt_state), None, length=length
     )
+    # underscore keys are per-step telemetry (e.g. _bin_overflow), not loss
+    # curves: keep them out of losses_values so argmin_hypothesis and the
+    # logged curves see only real loss terms
+    losses = {k: v for k, v in ys["logs"].items() if not k.startswith("_")}
+    telemetry = {k: v for k, v in ys["logs"].items() if k.startswith("_")}
     return RefineResult(
         params=final_params,
         mtx_history=ys["mtx"],
-        losses_values=ys["logs"],
+        losses_values=losses,
         total_loss=ys["total"],
         opt_state=final_opt_state,
+        telemetry=telemetry or None,
     )
 
 
@@ -240,23 +253,31 @@ def refine_segmented(
             static_argnames=("num_steps",),
         )
 
+    import time
+
     params = params0
     opt_state = None
     mtx_chunks, total_chunks = [], []
     logs_chunks: Dict[str, list] = {}
+    telem_chunks: Dict[str, list] = {}
+    segment_times = []
     done = 0
     while done < total:
         n = min(segment_steps, total - done)
+        t0 = time.perf_counter()
         res = jit_refine(
             params, gt=gt, learning_rates=learning_rates,
             opt_state=opt_state, num_steps=n,
         )
         jax.block_until_ready(res.mtx_history)
+        segment_times.append((n, time.perf_counter() - t0))
         params, opt_state = res.params, res.opt_state
         mtx_chunks.append(res.mtx_history)
         total_chunks.append(res.total_loss)
         for k, v in res.losses_values.items():
             logs_chunks.setdefault(k, []).append(v)
+        for k, v in (res.telemetry or {}).items():
+            telem_chunks.setdefault(k, []).append(v)
         done += n
 
     return RefineResult(
@@ -265,6 +286,11 @@ def refine_segmented(
         losses_values={k: jnp.concatenate(v, axis=0) for k, v in logs_chunks.items()},
         total_loss=jnp.concatenate(total_chunks, axis=0),
         opt_state=opt_state,
+        segment_times=segment_times,
+        telemetry=(
+            {k: jnp.concatenate(v, axis=0) for k, v in telem_chunks.items()}
+            or None
+        ),
     )
 
 

@@ -62,6 +62,7 @@ def refine_sharded(
     weights: Dict[str, float],
     mesh: Mesh,
     axis_name: str = "hyp",
+    extra_params: Optional[Dict[str, jax.Array]] = None,
     **refine_kwargs,
 ):
     """Run optimize.refine with the hypothesis batch sharded over `mesh`.
@@ -69,6 +70,11 @@ def refine_sharded(
     The batch size must be divisible by the mesh size.  All refine outputs
     come back with the batch axis sharded; history/loss logs are tiny and
     can be pulled to host with np.asarray as usual.
+
+    ``extra_params`` (appearance leaves from enable_gradients_texture,
+    reference diffdope.py:909-920) are shared across hypotheses, hence
+    replicated over the mesh; their gradients are reduced across shards by
+    the implicit GSPMD psum.
     """
     b = params0["qx"].shape[0]
     n = mesh.devices.size
@@ -80,6 +86,8 @@ def refine_sharded(
         jnp.asarray(learning_rates), NamedSharding(mesh, P(axis_name))
     )
     gt = replicate(gt, mesh)
+    if extra_params is not None:
+        extra_params = replicate(extra_params, mesh)
 
     fn = jax.jit(
         partial(
@@ -90,4 +98,6 @@ def refine_sharded(
             **refine_kwargs,
         )
     )
-    return fn(params0, gt=gt, learning_rates=learning_rates)
+    return fn(
+        params0, gt=gt, learning_rates=learning_rates, extra_params=extra_params
+    )

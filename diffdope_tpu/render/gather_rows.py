@@ -85,7 +85,11 @@ def invert_bins(tile_idx: Array, t_count: int, max_occ=16):
     seg_start = jax.lax.cummax(jnp.where(first, iota, -1))
     rank = iota - seg_start  # occurrence index within the triangle's group
     ok = (rank < max_occ) & (sorted_vals < t_count)
-    tgt = jnp.where(ok, sorted_vals * max_occ + rank, t_count * max_occ)
+    # rejects get DISTINCT out-of-bounds targets (t_count*max_occ + iota):
+    # mode='drop' discards them, and unique_indices=True stays honest (a
+    # shared reject index would put duplicates in the index vector, which
+    # the unique_indices contract forbids even when dropped).
+    tgt = jnp.where(ok, sorted_vals * max_occ + rank, t_count * max_occ + iota)
     inv = (
         jnp.full((t_count * max_occ,), -1, jnp.int32)
         .at[tgt]

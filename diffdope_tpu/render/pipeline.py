@@ -136,6 +136,7 @@ def render_batch(
     if impl == "auto":
         impl = "reference" if t_count <= 256 else "pallas"
 
+    bin_overflow = None
     if impl == "reference":
         corners_clip = xfm_points(pos_c, mvp).reshape(b, t_count, 3, 4)
         setup = triangle_setup_from_corners(corners_clip)
@@ -195,7 +196,7 @@ def render_batch(
             if bins is not None:
                 idx, counts, inv_pos, inv_valid = bins
             else:
-                idx, counts, _ = bin_triangles_planar(
+                idx, counts, bin_overflow = bin_triangles_planar(
                     cp, det, resolution, tile_hw, max_tris_per_tile,
                     cull_backfaces=cull_backfaces,
                 )
@@ -261,6 +262,14 @@ def render_batch(
             sh["rows"], ids, mtx[..., 2, 3], sh
         )
 
+    # scan-carried binning telemetry (per-step overflow; underscore keys are
+    # routed into RefineResult.telemetry by optimize.refine, not the loss
+    # logs) — present only when this call re-binned
+    telemetry = (
+        {"_bin_overflow": jax.lax.stop_gradient(bin_overflow)}
+        if bin_overflow is not None else {}
+    )
+
     if layout == "channels":
         return {
             "mask": mask1,            # (B, H, W) — identical 3 channels implied
@@ -268,6 +277,7 @@ def render_batch(
             "depth": depth,           # (B, H, W)
             "ids": ids,
             "rast_out": rast_stacked if return_rast_out else None,
+            **telemetry,
         }
 
     rgb = jnp.stack(colors, axis=-1)
@@ -277,6 +287,7 @@ def render_batch(
         "depth": depth,
         "mask": mask,
         "rast_out": rast_stacked if return_rast_out else None,
+        **telemetry,
     }
 
 
@@ -390,6 +401,7 @@ def make_fused_loss(
         )
         import os
 
+        bin_overflow = None
         if bins is None and os.environ.get("DD_RASTER", "v2") == "v3":
             # sorted-range kernel: no bin lists, no K cap, direct d_packed
             from diffdope_tpu.render.raster_v3 import raster_gather_rows_v3
@@ -401,7 +413,7 @@ def make_fused_loss(
             if bins is not None:
                 idx, counts, inv_pos, inv_valid = bins
             else:
-                idx, counts, _ = bin_triangles_planar(
+                idx, counts, bin_overflow = bin_triangles_planar(
                     cp, det, resolution, tile_hw, max_tris_per_tile,
                     cull_backfaces=cull_backfaces,
                 )
@@ -433,6 +445,13 @@ def make_fused_loss(
             per_hyp = sums[:, 0] / (3.0 * npx)
             total = total + jnp.mean(per_hyp * learning_rates) * weights["mask"]
             logs["mask_selection"] = per_hyp * weights["mask"]
+        if bin_overflow is not None:
+            # scan-carried telemetry (underscore keys are split out of the
+            # loss logs by optimize.refine): dropped (tile, triangle) pairs
+            # at THIS step's poses — catches mid-trajectory excursions past
+            # the bin capacity that a final-pose check would miss
+            logs["_bin_overflow"] = jax.lax.stop_gradient(bin_overflow)
+            logs["_bin_max"] = jax.lax.stop_gradient(counts.max())
         return total, logs
 
     return fn

@@ -509,6 +509,12 @@ def _fwd_v2(packed, tile_idx, tile_counts, resolution, tile_hw, interpret,
     q_rows = _pick_qrows(th)
     # phase C windows are per hypothesis too, packed the same flat way
     # (qclo*256 + qchi; supports up to 255 chunks per tile)
+    if k // k_chunk > 255:
+        raise ValueError(
+            f"raster_v2 packed quad windows support up to 255 chunks per tile "
+            f"(got {k // k_chunk} = K {k} / k_chunk {k_chunk}); raise the "
+            f"radix in the qwin packing or lower max_tris_per_tile"
+        )
     qclo, qchi = _quad_windows(rlo, rhi, th, ntx, q_rows, h)
     qwin = (qclo * 256 + qchi).reshape(-1).astype(jnp.int32)
     kernel = functools.partial(
