@@ -134,26 +134,34 @@ def _assemble(ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, gt_t, gt_b,
               dpl=None):
     """Concatenate main slab + 2-row halos into (hs+4)-row windows.
 
+    The halo blocks are overlapping BlockSpec windows over the SAME raw
+    rows/ids/gt arrays (offsets si*hs -/+ 2 expressed in 2-row block units —
+    hs is a multiple of 8, so they are exact block indices; edge slabs clamp
+    and read in-image rows whose values are masked out by the window
+    geometry).  No halo copies are materialized in HBM.
+
     gt_t/gt_b (and the halo entries of dpl) may be None: the forward only
     sums loss over its own rows, so the gt values at halo rows are always
     masked out — zero-padding replaces two operand streams per array."""
-    ids_w = jnp.concatenate([ids_t[0, 0], ids_m[0, 0], ids_b[0, 0]], axis=0)
+    ids_w = jnp.concatenate(
+        [ids_t[0, 6:8], ids_m[0], ids_b[0, 0:2]], axis=0
+    )
     rows_w = jnp.concatenate(
-        [rows_t[0, :, 0], rows_m[0], rows_b[0, :, 0]], axis=1
+        [rows_t[0, :, 6:8], rows_m[0], rows_b[0, :, 0:2]], axis=1
     )
     wp = ids_m.shape[-1]
     zg = jnp.zeros((gt_m.shape[0], 2, wp), gt_m.dtype)
     gt_w = jnp.concatenate(
-        [zg if gt_t is None else gt_t[:, 0], gt_m[...],
-         zg if gt_b is None else gt_b[:, 0]], axis=1
+        [zg if gt_t is None else gt_t[:, 6:8], gt_m[...],
+         zg if gt_b is None else gt_b[:, 0:2]], axis=1
     )
     dpl_w = None
     if dpl is not None:
         dpl_m, dpl_t, dpl_b = dpl
         zd = jnp.zeros((2, wp), jnp.float32)
         dpl_w = jnp.concatenate(
-            [zd if dpl_t is None else dpl_t[0, 0], dpl_m[0, 0],
-             zd if dpl_b is None else dpl_b[0, 0]], axis=0
+            [zd if dpl_t is None else dpl_t[0, 6:8], dpl_m[0],
+             zd if dpl_b is None else dpl_b[0, 0:2]], axis=0
         )
     return ids_w, rows_w, gt_w, dpl_w
 
@@ -274,84 +282,65 @@ def _bwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth):
             d_dpl_ref[0] = d_dpl_w[2 : 2 + hs]
 
 
-def _halo_arrays(rows, ids, gt6, dplane, hs):
-    """Per-slab 2-row boundary copies for the halo block inputs."""
-    b, width, hp, wp = rows.shape
-    ns = hp // hs
-    r4 = rows.reshape(b, width, ns, hs, wp)
-    rows_t = r4[:, :, :, hs - 2 :, :]   # slab i's LAST 2 rows
-    rows_b = r4[:, :, :, :2, :]         # slab i's FIRST 2 rows
-    i3 = ids.reshape(b, ns, hs, wp)
-    ids_t = i3[:, :, hs - 2 :, :]
-    ids_b = i3[:, :, :2, :]
-    out = [ids_t, ids_b, rows_t, rows_b]
-    if gt6 is not None:
-        g3 = gt6.reshape(6, ns, hs, wp)
-        out += [g3[:, :, hs - 2 :, :], g3[:, :, :2, :]]
-    if dplane is not None:
-        d3 = dplane.reshape(b, ns, hs, wp)
-        out += [d3[:, :, hs - 2 :, :], d3[:, :, :2, :]]
-    return out
-
-
 def _specs(b, width, hs, wp, ns, with_depth, gt_halos=True):
     """in_specs for [ids x3, rows x3, gt x1|3, dpl x1|3?] (fwd passes
-    gt_halos=False: its loss rows never read gt beyond the main slab)."""
+    gt_halos=False: its loss rows never read gt beyond the main slab).
 
-    def prev(si):
-        return jnp.maximum(si - 1, 0)
+    Halo blocks are (…, 8, wp) windows over the SAME raw arrays (8-row
+    blocks are lowering-legal; 2-row blocks are not, and a row-pair reshape
+    view measured ~11 ms/step of T(8,128)->T(2,128) tiling relayouts): slab
+    si's top halo block starts at row si*hs - 8 = 8-row block si*hs/8 - 1
+    (hs is a multiple of 8, exact), its bottom halo at (si+1)*hs.  The
+    kernel slices the 2 boundary rows it needs from each 8-row block
+    (_assemble).  Edge slabs clamp into the image; the clamped rows are
+    masked by the window geometry.  No halo copies are materialized."""
+    hb = hs // 8
+    nb = (ns * hs) // 8  # total 8-row blocks in the padded height
 
-    def nxt(si):
-        return jnp.minimum(si + 1, ns - 1)
+    def top(si):
+        return jnp.maximum(si * hb - 1, 0)
+
+    def bot(si):
+        return jnp.minimum((si + 1) * hb, nb - 1)
 
     specs = [
-        pl.BlockSpec((1, 1, hs, wp), lambda bi, si: (bi, si, 0, 0)),
-        pl.BlockSpec((1, 1, 2, wp), lambda bi, si: (bi, prev(si), 0, 0)),
-        pl.BlockSpec((1, 1, 2, wp), lambda bi, si: (bi, nxt(si), 0, 0)),
+        pl.BlockSpec((1, hs, wp), lambda bi, si: (bi, si, 0)),
+        pl.BlockSpec((1, 8, wp), lambda bi, si: (bi, top(si), 0)),
+        pl.BlockSpec((1, 8, wp), lambda bi, si: (bi, bot(si), 0)),
         pl.BlockSpec((1, width, hs, wp), lambda bi, si: (bi, 0, si, 0)),
-        pl.BlockSpec(
-            (1, width, 1, 2, wp), lambda bi, si: (bi, 0, prev(si), 0, 0)
-        ),
-        pl.BlockSpec(
-            (1, width, 1, 2, wp), lambda bi, si: (bi, 0, nxt(si), 0, 0)
-        ),
+        pl.BlockSpec((1, width, 8, wp), lambda bi, si: (bi, 0, top(si), 0)),
+        pl.BlockSpec((1, width, 8, wp), lambda bi, si: (bi, 0, bot(si), 0)),
         pl.BlockSpec((6, hs, wp), lambda bi, si: (0, si, 0)),
     ]
     if gt_halos:
         specs += [
-            pl.BlockSpec((6, 1, 2, wp), lambda bi, si: (0, prev(si), 0, 0)),
-            pl.BlockSpec((6, 1, 2, wp), lambda bi, si: (0, nxt(si), 0, 0)),
+            pl.BlockSpec((6, 8, wp), lambda bi, si: (0, top(si), 0)),
+            pl.BlockSpec((6, 8, wp), lambda bi, si: (0, bot(si), 0)),
         ]
     if with_depth:
         specs += [
-            pl.BlockSpec((1, 1, hs, wp), lambda bi, si: (bi, si, 0, 0)),
+            pl.BlockSpec((1, hs, wp), lambda bi, si: (bi, si, 0)),
         ]
         if gt_halos:
             specs += [
-                pl.BlockSpec(
-                    (1, 1, 2, wp), lambda bi, si: (bi, prev(si), 0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, 1, 2, wp), lambda bi, si: (bi, nxt(si), 0, 0)
-                ),
+                pl.BlockSpec((1, 8, wp), lambda bi, si: (bi, top(si), 0)),
+                pl.BlockSpec((1, 8, wp), lambda bi, si: (bi, bot(si), 0)),
             ]
     return specs
 
 
 def _operands(rows, ids, gt6, dplane, hs, gt_halos=True):
+    """Operand list: main AND halo blocks are BlockSpec windows over the
+    same raw arrays (see _specs) — no halo copies are built."""
     b, width, hp, wp = rows.shape
     ns = hp // hs
-    halos = _halo_arrays(rows, ids, gt6 if gt_halos else None,
-                         dplane if gt_halos else None, hs)
-    ids_r = ids.reshape(b, ns, hs, wp)
-    ids_t, ids_b, rows_t, rows_b = halos[:4]
-    ops = [ids_r, ids_t, ids_b, rows, rows_t, rows_b, gt6]
+    ops = [ids, ids, ids, rows, rows, rows, gt6]
     if gt_halos:
-        ops += [halos[4], halos[5]]
+        ops += [gt6, gt6]
     if dplane is not None:
-        ops.append(dplane.reshape(b, ns, hs, wp))
+        ops.append(dplane)
         if gt_halos:
-            ops += [halos[6], halos[7]]
+            ops += [dplane, dplane]
     return ops, ns
 
 

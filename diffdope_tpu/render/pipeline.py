@@ -165,8 +165,11 @@ def render_batch(
         # the kernel boundary converts to the sublane-major layout the
         # Mosaic kernel needs for its per-triangle scalar loads
         from diffdope_tpu.render.planar import (
+            _silhouette_planar,
             bin_triangles_planar,
             corner_planes,
+            det_planar,
+            pack_binned,
             packed_planar,
         )
 
@@ -177,39 +180,71 @@ def render_batch(
             | (pos_idx[:, 1] == pos_idx[:, 2])
             | (pos_idx[:, 2] == pos_idx[:, 0])
         )
-        zrot = jnp.einsum(
-            "...j,...nj->...n", mtx[..., 2, :3], pos_c, precision="highest"
-        )  # (B, 3T)
-        packed_pl, det = packed_planar(
-            cp, attr_corner_vals, zrot, edge_adj, degenerate
-        )
 
         import os
 
-        if bins is None and os.environ.get("DD_RASTER", "v2") == "v3":
-            from diffdope_tpu.render.raster_v3 import raster_gather_rows_v3
+        # bin-ordered packing (planar.pack_binned, default): skips the
+        # compact->bin lane gather in the forward and the whole inverted-bin
+        # reduction in the backward.  Static per-corner attributes only — a
+        # traced-attr (appearance) gather would put a large scatter-add in
+        # the backward, so that path keeps the compact packing.
+        use_binned = (
+            os.environ.get("DD_BINNED", "1") == "1"
+            and os.environ.get("DD_RASTER", "v2") != "v3"
+            and attr_corner_vals.ndim == 3
+            and pos.ndim == 2
+        )
+        if use_binned:
+            from diffdope_tpu.render.raster_v2 import raster_gather_rows_binned
 
-            ids, rows = raster_gather_rows_v3(
-                packed_pl, tuple(resolution), tuple(tile_hw), interpret
-            )
-        else:
+            det = det_planar(cp, degenerate)
             if bins is not None:
-                idx, counts, inv_pos, inv_valid = bins
+                idx, counts = bins[0], bins[1]
             else:
                 idx, counts, bin_overflow = bin_triangles_planar(
                     cp, det, resolution, tile_hw, max_tris_per_tile,
                     cull_backfaces=cull_backfaces,
                 )
-                # the backward's inverted-bin gather scales with
-                # B*32*T*max_occ; size it from gather_rows.bin_occupancy
-                # when the scene is known
-                inv_pos, inv_valid = invert_bins(idx, t_count, max_occ)
-            from diffdope_tpu.render.raster_v2 import raster_gather_rows_v2
-
-            ids, rows = raster_gather_rows_v2(
-                packed_pl, idx, counts, inv_pos, inv_valid,
-                tuple(resolution), tuple(tile_hw), interpret,
+            sil = _silhouette_planar(det, edge_adj)
+            packed_b = pack_binned(
+                pos_c, mvp, mtx, idx, attr_corner_vals, sil, degenerate,
+                t_count,
             )
+            ids, rows = raster_gather_rows_binned(
+                packed_b, counts, tuple(resolution), tuple(tile_hw), interpret
+            )
+        else:
+            zrot = jnp.einsum(
+                "...j,...nj->...n", mtx[..., 2, :3], pos_c, precision="highest"
+            )  # (B, 3T)
+            packed_pl, det = packed_planar(
+                cp, attr_corner_vals, zrot, edge_adj, degenerate
+            )
+
+            if bins is None and os.environ.get("DD_RASTER", "v2") == "v3":
+                from diffdope_tpu.render.raster_v3 import raster_gather_rows_v3
+
+                ids, rows = raster_gather_rows_v3(
+                    packed_pl, tuple(resolution), tuple(tile_hw), interpret
+                )
+            else:
+                if bins is not None:
+                    idx, counts, inv_pos, inv_valid = bins
+                else:
+                    idx, counts, bin_overflow = bin_triangles_planar(
+                        cp, det, resolution, tile_hw, max_tris_per_tile,
+                        cull_backfaces=cull_backfaces,
+                    )
+                    # the backward's inverted-bin gather scales with
+                    # B*32*T*max_occ; size it from gather_rows.bin_occupancy
+                    # when the scene is known
+                    inv_pos, inv_valid = invert_bins(idx, t_count, max_occ)
+                from diffdope_tpu.render.raster_v2 import raster_gather_rows_v2
+
+                ids, rows = raster_gather_rows_v2(
+                    packed_pl, idx, counts, inv_pos, inv_valid,
+                    tuple(resolution), tuple(tile_hw), interpret,
+                )
         sh = None  # shading happens inside the checkpointed section below
     else:
         raise ValueError(f"unknown raster_impl {impl!r}")
@@ -330,8 +365,11 @@ def make_fused_loss(
     """
     from diffdope_tpu.render.fused_loss import fused_loss_sums
     from diffdope_tpu.render.planar import (
+        _silhouette_planar,
         bin_triangles_planar,
         corner_planes,
+        det_planar,
+        pack_binned,
         packed_planar,
     )
 
@@ -393,37 +431,66 @@ def make_fused_loss(
             "...ij,...jk->...ik", proj_cam, mtx, precision="highest"
         )
         cp = corner_planes(pos_c, mvp)
-        zrot = jnp.einsum(
-            "...j,...nj->...n", mtx[..., 2, :3], pos_c, precision="highest"
-        )
-        packed_pl, det = packed_planar(
-            cp, attr_corner_vals, zrot, edge_adj, degenerate
-        )
         import os
 
         bin_overflow = None
-        if bins is None and os.environ.get("DD_RASTER", "v2") == "v3":
-            # sorted-range kernel: no bin lists, no K cap, direct d_packed
-            from diffdope_tpu.render.raster_v3 import raster_gather_rows_v3
+        use_binned = (
+            os.environ.get("DD_BINNED", "1") == "1"
+            and os.environ.get("DD_RASTER", "v2") != "v3"
+            and pos.ndim == 2
+        )
+        if use_binned:
+            # bin-ordered packing: no compact->bin lane gather forward, no
+            # inverted-bin reduction backward (see planar.pack_binned)
+            from diffdope_tpu.render.raster_v2 import raster_gather_rows_binned
 
-            ids, rows = raster_gather_rows_v3(
-                packed_pl, tuple(resolution), tuple(tile_hw), interpret, True
-            )
-        else:
+            det = det_planar(cp, degenerate)
             if bins is not None:
-                idx, counts, inv_pos, inv_valid = bins
+                idx, counts = bins[0], bins[1]
             else:
                 idx, counts, bin_overflow = bin_triangles_planar(
                     cp, det, resolution, tile_hw, max_tris_per_tile,
                     cull_backfaces=cull_backfaces,
                 )
-                inv_pos, inv_valid = invert_bins(idx, t_count, max_occ)
-            from diffdope_tpu.render.raster_v2 import raster_gather_rows_v2
-
-            ids, rows = raster_gather_rows_v2(
-                packed_pl, idx, counts, inv_pos, inv_valid,
-                tuple(resolution), tuple(tile_hw), interpret, True, True,
+            sil = _silhouette_planar(det, edge_adj)
+            packed_b = pack_binned(
+                pos_c, mvp, mtx, idx, attr_corner_vals, sil, degenerate,
+                t_count,
             )
+            ids, rows = raster_gather_rows_binned(
+                packed_b, counts, tuple(resolution), tuple(tile_hw),
+                interpret, True, True,
+            )
+        else:
+            zrot = jnp.einsum(
+                "...j,...nj->...n", mtx[..., 2, :3], pos_c, precision="highest"
+            )
+            packed_pl, det = packed_planar(
+                cp, attr_corner_vals, zrot, edge_adj, degenerate
+            )
+            if bins is None and os.environ.get("DD_RASTER", "v2") == "v3":
+                # sorted-range kernel: no bin lists, no K cap, direct d_packed
+                from diffdope_tpu.render.raster_v3 import raster_gather_rows_v3
+
+                ids, rows = raster_gather_rows_v3(
+                    packed_pl, tuple(resolution), tuple(tile_hw), interpret,
+                    True,
+                )
+            else:
+                if bins is not None:
+                    idx, counts, inv_pos, inv_valid = bins
+                else:
+                    idx, counts, bin_overflow = bin_triangles_planar(
+                        cp, det, resolution, tile_hw, max_tris_per_tile,
+                        cull_backfaces=cull_backfaces,
+                    )
+                    inv_pos, inv_valid = invert_bins(idx, t_count, max_occ)
+                from diffdope_tpu.render.raster_v2 import raster_gather_rows_v2
+
+                ids, rows = raster_gather_rows_v2(
+                    packed_pl, idx, counts, inv_pos, inv_valid,
+                    tuple(resolution), tuple(tile_hw), interpret, True, True,
+                )
         dplane = None
         if use_depth:
             dplane = gtd_p[None] + mtx[..., 2, 3][:, None, None]

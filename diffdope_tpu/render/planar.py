@@ -50,8 +50,12 @@ def corner_planes(pos_c: Array, mvp: Array) -> Dict[str, Array]:
     return out
 
 
-def _corner(p: Array, k: int) -> Array:
-    """Corner k's plane from an interleaved (B, 3T) corner array -> (B, T)."""
+def _corner(p, k: int) -> Array:
+    """Corner k's plane: from an interleaved (B, 3T) corner array -> (B, T),
+    or from a per-corner list [c0, c1, c2] (the bin-ordered packing builds
+    planes per corner to avoid interleaved/minor-dim layouts)."""
+    if isinstance(p, (list, tuple)):
+        return p[k]
     return p[:, k::3]
 
 
@@ -61,6 +65,8 @@ def packed_planar(
     zrot: Optional[Array],
     edge_adj: Optional[Array],
     degenerate: Optional[Array] = None,
+    tri_indices: Optional[Array] = None,
+    sil: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     """Build the (B, 32, T) packed table from corner planes.
 
@@ -72,6 +78,13 @@ def packed_planar(
             channel), appended after the attrs.
         edge_adj: optional (T, 3) silhouette adjacency.
         degenerate: optional (T,) bool padding-triangle mask.
+        tri_indices: optional (T,) int global triangle index per column
+            (lane 13); defaults to arange.  Bin-ordered packing
+            (pack_binned) passes the bin slot -> triangle map here.
+        sil: optional (B, T) precomputed silhouette bits (lane 14),
+            overriding the edge_adj computation — required when the columns
+            are not in global triangle order (neighbor lookups by edge_adj
+            would dereference the wrong columns).
 
     Returns:
         packed (B, 32, T) float32, det (B, T).
@@ -106,10 +119,16 @@ def packed_planar(
     )
 
     b, t = det.shape
-    tri_idx = jnp.broadcast_to(
-        jnp.arange(t, dtype=det.dtype)[None, :], (b, t)
-    )
-    sil = _silhouette_planar(det, edge_adj)
+    if tri_indices is None:
+        tri_idx = jnp.broadcast_to(
+            jnp.arange(t, dtype=det.dtype)[None, :], (b, t)
+        )
+    else:
+        tri_idx = jnp.broadcast_to(
+            tri_indices.astype(det.dtype)[None, :], (b, t)
+        )
+    if sil is None:
+        sil = _silhouette_planar(det, edge_adj)
     ylo, yhi = _ybounds_ndc(cp, degenerate)
 
     lanes = [
@@ -122,16 +141,29 @@ def packed_planar(
 
     # attribute interpolation planes: g_c[i] = sum_k attr[k, c] * cK[i]
     if corner_attrs is not None:
-        if corner_attrs.ndim == 3:
-            attrs = corner_attrs[None]  # (1, T, 3, C)
-        else:
-            attrs = corner_attrs
-        n_ch = attrs.shape[-1]
         cs = (c0, c1, c2)
-        for c in range(n_ch):
-            a = [attrs[:, :, k, c] for k in range(3)]  # (1|B, T) each
-            for i in range(3):
-                lanes.append(a[0] * cs[0][i] + a[1] * cs[1][i] + a[2] * cs[2][i])
+        if isinstance(corner_attrs, (list, tuple)):
+            # per-corner plane lists attr[k][c], each (T',) or (B, T')
+            # (bin-ordered packing)
+            n_ch = len(corner_attrs[0])
+            for c in range(n_ch):
+                a = [jnp.atleast_2d(corner_attrs[k][c]) for k in range(3)]
+                for i in range(3):
+                    lanes.append(
+                        a[0] * cs[0][i] + a[1] * cs[1][i] + a[2] * cs[2][i]
+                    )
+        else:
+            if corner_attrs.ndim == 3:
+                attrs = corner_attrs[None]  # (1, T, 3, C)
+            else:
+                attrs = corner_attrs
+            n_ch = attrs.shape[-1]
+            for c in range(n_ch):
+                a = [attrs[:, :, k, c] for k in range(3)]  # (1|B, T) each
+                for i in range(3):
+                    lanes.append(
+                        a[0] * cs[0][i] + a[1] * cs[1][i] + a[2] * cs[2][i]
+                    )
     if zrot is not None:
         zr = [_corner(zrot, k) for k in range(3)]
         cs = (c0, c1, c2)
@@ -153,6 +185,127 @@ def packed_planar(
     return jnp.stack(lanes, axis=1), det  # (B, 32, T)
 
 
+def det_planar(cp: Dict[str, Array], degenerate: Optional[Array] = None) -> Array:
+    """Just the (B, T) determinant plane (for binning / silhouette bits
+    without building the full packed table)."""
+    x = [_corner(cp["x"], k) for k in range(3)]
+    y = [_corner(cp["y"], k) for k in range(3)]
+    w = [_corner(cp["w"], k) for k in range(3)]
+    c0 = (
+        y[1] * w[2] - w[1] * y[2],
+        w[1] * x[2] - x[1] * w[2],
+        x[1] * y[2] - y[1] * x[2],
+    )
+    det = c0[0] * x[0] + c0[1] * y[0] + c0[2] * w[0]
+    if degenerate is not None:
+        det = det * (~degenerate)[None, :].astype(det.dtype)
+    return det
+
+
+def pack_binned(
+    pos_c: Array,
+    mvp: Array,
+    mtx: Array,
+    idx: Array,
+    corner_attrs: Optional[Array],
+    sil: Array,
+    degenerate: Optional[Array],
+    t_count: int,
+) -> Array:
+    """Build the packed table DIRECTLY in bin-slot order: (B, 32, nt*K).
+
+    The per-tile bin layout the raster kernel consumes was previously
+    produced by gathering the compact (B, 32, T) packed table along its
+    lane dimension (jnp.take axis=2) — a minor-dim gather XLA lowers as
+    transpose + gather + transpose, measured ~13 ms/step at bench scale.
+    Here the only gather is of the tiny OBJECT-SPACE corner constants
+    (3*nt*K, 3 — a few MB) by bin slot; the clip transform and packing math
+    then stream directly into the bin layout on the MXU/VPU.  As a bonus,
+    the backward needs no inverted-bin reduction at all: the kernel's
+    d_packed lands on this table and flows to the pose through the packing
+    einsum (an MXU reduction), replacing the invert_bins sort + per-triangle
+    gather pipeline (~15 ms/step).
+
+    Args:
+        pos_c: (3T, 3) or (1|B, 3T, 3) corner-expanded object-space points
+            (corner k of triangle i at row 3i + k, matching _corner).
+        mvp/mtx: (B, 4, 4) projection-model-view and model-view.
+        idx: (num_tiles, K) int32 bin slot -> triangle (sentinel t_count).
+        corner_attrs: (T, 3, C) static per-corner attributes (or
+            (B, T, 3, C) traced).
+        sil: (B, T) silhouette bits in compact order (from
+            _silhouette_planar on the compact det).
+        degenerate: (T,) bool padding-triangle mask (or None).
+        t_count: T.
+    """
+    flat = idx.reshape(-1)                      # (nt*K,)
+    safe = jnp.minimum(flat, t_count - 1)
+    pc = pos_c[0] if pos_c.ndim == 3 else pos_c  # (3T, 3) static constants
+
+    # All static per-triangle data rides ONE gather: a (rows, T) table with
+    # planes on sublanes and T on lanes, gathered along lanes by `safe`.
+    # (Per-plane gathers measured ~2 ms/step of fixed per-op cost each; a
+    # corner-tuple (3ntK, 3) gather was worse still — 42x lane padding.)
+    static_rows = [pc[k::3, c] for k in range(3) for c in range(3)]  # 9 pos
+    attrs_static = corner_attrs is not None and not isinstance(
+        corner_attrs, (list, tuple)
+    ) and corner_attrs.ndim == 3
+    n_ch = 0
+    if attrs_static:
+        n_ch = corner_attrs.shape[-1]
+        static_rows += [
+            corner_attrs[:, k, c] for k in range(3) for c in range(n_ch)
+        ]
+    if degenerate is not None:
+        static_rows.append(degenerate.astype(pc.dtype))
+    tab = jnp.take(jnp.stack(static_rows, axis=0), safe, axis=1)  # (R, ntK)
+
+    def row(r):
+        return tab[r : r + 1, :]  # (1, nt*K)
+
+    pk = [[row(3 * k + c) for c in range(3)] for k in range(3)]
+
+    def transform(rows3, trans):
+        """rows3 (B, 3) + trans (B,) applied to the 9 gathered corner
+        planes -> per-corner (B, nt*K) lists via broadcast FMAs."""
+        return [
+            rows3[:, 0:1] * pk[k][0]
+            + rows3[:, 1:2] * pk[k][1]
+            + rows3[:, 2:3] * pk[k][2]
+            + trans[:, None]
+            for k in range(3)
+        ]
+
+    cp_b = {
+        name: transform(mvp[:, r, :3], mvp[:, r, 3])
+        for name, r in (("x", 0), ("y", 1), ("z", 2), ("w", 3))
+    }
+    zrot_b = transform(
+        mtx[:, 2, :3], jnp.zeros(mtx.shape[:1], mtx.dtype)
+    )
+    attr_b = None
+    if attrs_static:
+        attr_b = [
+            [row(9 + k * n_ch + c) for c in range(n_ch)] for k in range(3)
+        ]
+    elif corner_attrs is not None:  # (B, T, 3, C) traced: per-b lane gather
+        attr_b = [
+            [
+                jnp.take(corner_attrs[:, :, k, c], safe, axis=1)
+                for c in range(corner_attrs.shape[-1])
+            ]
+            for k in range(3)
+        ]
+    sil_b = jnp.take(sil, safe, axis=1)
+    degen_b = flat >= t_count
+    if degenerate is not None:
+        degen_b = degen_b | (tab[9 + 3 * n_ch, :] > 0.5)
+    packed_b, _ = packed_planar(
+        cp_b, attr_b, zrot_b, None, degen_b, tri_indices=safe, sil=sil_b
+    )
+    return packed_b
+
+
 XLO_LANE = PACKED_WIDTH - 4  # 28
 XHI_LANE = PACKED_WIDTH - 3  # 29
 YLO_LANE = PACKED_WIDTH - 2  # 30
@@ -160,53 +313,39 @@ YHI_LANE = PACKED_WIDTH - 1  # 31
 _Y_OPEN = 4.0  # beyond any pixel row's NDC y in (-1, 1)
 
 
-def _xbounds_ndc(cp: Dict[str, Array], degenerate: Optional[Array]):
-    """Per-triangle conservative NDC-x interval [xlo, xhi] (B, T) — the
-    x-axis twin of :func:`_ybounds_ndc`."""
+def _axis_bounds_ndc(cp: Dict[str, Array], axis: str, degenerate):
+    """Per-triangle conservative NDC interval along `axis` ('x' or 'y').
+
+    A pixel center covered by the triangle has its coordinate strictly
+    inside the corner min/max, so gating outside the interval is exact.
+    Behind-camera corners (w <= eps) open the interval to (-4, 4) (the
+    kernel re-tests coverage exactly); degenerate padding triangles get an
+    empty interval.  Accepts interleaved (B, 3T) planes or per-corner
+    lists (see _corner)."""
     eps = 1e-9
-    xs = jax.lax.stop_gradient(cp["x"])
-    ws = jax.lax.stop_gradient(cp["w"])
-    safe_w = jnp.where(jnp.abs(ws) > eps, ws, eps)
-    xn = xs / safe_w
-    behind_c = ws <= eps
-    x = [_corner(xn, k) for k in range(3)]
-    bc = _corner(behind_c, 0) | _corner(behind_c, 1) | _corner(behind_c, 2)
-    xlo = jnp.minimum(jnp.minimum(x[0], x[1]), x[2])
-    xhi = jnp.maximum(jnp.maximum(x[0], x[1]), x[2])
-    xlo = jnp.where(bc, -_Y_OPEN, xlo)
-    xhi = jnp.where(bc, _Y_OPEN, xhi)
+    v = [jax.lax.stop_gradient(_corner(cp[axis], k)) for k in range(3)]
+    w = [jax.lax.stop_gradient(_corner(cp["w"], k)) for k in range(3)]
+    vn = [
+        vk / jnp.where(jnp.abs(wk) > eps, wk, eps) for vk, wk in zip(v, w)
+    ]
+    bc = (w[0] <= eps) | (w[1] <= eps) | (w[2] <= eps)
+    lo = jnp.minimum(jnp.minimum(vn[0], vn[1]), vn[2])
+    hi = jnp.maximum(jnp.maximum(vn[0], vn[1]), vn[2])
+    lo = jnp.where(bc, -_Y_OPEN, lo)
+    hi = jnp.where(bc, _Y_OPEN, hi)
     if degenerate is not None:
         dg = degenerate[None, :]
-        xlo = jnp.where(dg, _Y_OPEN, xlo)
-        xhi = jnp.where(dg, -_Y_OPEN, xhi)
-    return xlo, xhi
+        lo = jnp.where(dg, _Y_OPEN, lo)
+        hi = jnp.where(dg, -_Y_OPEN, hi)
+    return lo, hi
 
 
-def _ybounds_ndc(cp: Dict[str, Array], degenerate: Optional[Array]):
-    """Per-triangle conservative NDC-y interval [ylo, yhi] (B, T).
+def _xbounds_ndc(cp, degenerate):
+    return _axis_bounds_ndc(cp, "x", degenerate)
 
-    A pixel center covered by the triangle has y strictly inside the corner
-    min/max, so gating rows outside the interval is exact.  Behind-camera
-    corners (w <= eps) open the interval to (-4, 4) (the kernel re-tests
-    coverage exactly); degenerate padding triangles get an empty interval.
-    """
-    eps = 1e-9
-    ys = jax.lax.stop_gradient(cp["y"])
-    ws = jax.lax.stop_gradient(cp["w"])
-    safe_w = jnp.where(jnp.abs(ws) > eps, ws, eps)
-    yn = ys / safe_w  # (B, 3T)
-    behind_c = ws <= eps
-    y = [_corner(yn, k) for k in range(3)]
-    bc = _corner(behind_c, 0) | _corner(behind_c, 1) | _corner(behind_c, 2)
-    ylo = jnp.minimum(jnp.minimum(y[0], y[1]), y[2])
-    yhi = jnp.maximum(jnp.maximum(y[0], y[1]), y[2])
-    ylo = jnp.where(bc, -_Y_OPEN, ylo)
-    yhi = jnp.where(bc, _Y_OPEN, yhi)
-    if degenerate is not None:
-        dg = degenerate[None, :]
-        ylo = jnp.where(dg, _Y_OPEN, ylo)
-        yhi = jnp.where(dg, -_Y_OPEN, yhi)
-    return ylo, yhi
+
+def _ybounds_ndc(cp, degenerate):
+    return _axis_bounds_ndc(cp, "y", degenerate)
 
 
 def _silhouette_planar(det: Array, edge_adj: Optional[Array]) -> Array:

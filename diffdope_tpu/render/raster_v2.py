@@ -277,7 +277,7 @@ def _fwd_kernel_v2(
 
 def _bwd_kernel_v2(
     counts_ref, bounds_ref, idscm_ref, tids_ref, drows_ref, out_ref,
-    *, th, tw, ntx, k_chunk, q_rows,
+    *, th, tw, ntx, k_chunk, q_rows, zero_tail=False,
 ):
     """d_bin(32, kc) = sum_rows d_rows(32, q*tw) @ indicator(q*tw, kc).
 
@@ -342,6 +342,21 @@ def _bwd_kernel_v2(
         return 0
 
     jax.lax.fori_loop(0, used, chunk_body, 0)
+
+    if zero_tail:
+        # the binned path DIFFERENTIATES through this output (it is the
+        # packed table's cotangent): unwritten tail chunks would inject
+        # uninitialized VMEM (possibly NaN bit patterns) into the packing
+        # backward.  The inverted-bin path never reads them, so it skips
+        # the fill.
+        def tail_body(ci, _):
+            base = pl.multiple_of(ci * k_chunk, 128)
+            out_ref[0, :, pl.ds(base, k_chunk)] = jnp.zeros(
+                (PACKED_WIDTH, k_chunk), jnp.float32
+            )
+            return 0
+
+        jax.lax.fori_loop(used, n_chunks, tail_body, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -495,15 +510,22 @@ def _pack_bounds(rlo, rhi, h):
 
 def _fwd_v2(packed, tile_idx, tile_counts, resolution, tile_hw, interpret,
             gated=True):
-    b, width, t_count = packed.shape
+    bins = _bins_planar(packed, tile_idx)
+    return _fwd_from_bins(bins, tile_counts, resolution, tile_hw, interpret,
+                          gated)
+
+
+def _fwd_from_bins(bins, tile_counts, resolution, tile_hw, interpret,
+                   gated=True):
+    b, width, ntk = bins.shape
     assert width == PACKED_WIDTH
     h, w = resolution
     th, tw = tile_hw
     nty, ntx = -(-h // th), -(-w // tw)
-    num_tiles, k = tile_idx.shape
+    num_tiles = tile_counts.shape[0]
+    k = ntk // num_tiles
     k_chunk = _pick_chunk(k)
 
-    bins = _bins_planar(packed, tile_idx)
     rlo, rhi = _chunk_row_bounds(bins, tile_counts, k_chunk, h, gated)
     bounds = _pack_bounds(rlo, rhi, h)
     q_rows = _pick_qrows(th)
@@ -573,16 +595,16 @@ def _vjp_fwd_v2(packed, tile_idx, tile_counts, inv_pos, inv_valid,
     return (ids, rows_out), res
 
 
-def _vjp_bwd_v2(resolution, tile_hw, interpret, gated, padded, res,
-                cotangents):
-    (packed_shape, tile_idx, tile_counts, ids_cm, inv_pos, inv_valid,
-     bounds) = res
-    _, d_rows = cotangents
-    b, width, t_count = packed_shape
+def _dbin_flat(d_rows, ids_cm, tids, tile_counts, bounds, num_tiles, k,
+               resolution, tile_hw, interpret, padded, zero_tail=False):
+    """Run the backward kernel: cotangent rows -> flat (B, 32, nt*K) d_bin.
+
+    tids: (num_tiles, 8, k) float bin triangle indices (8x sublane
+    broadcast so a (1, kc) row slice is layout-legal)."""
+    b = d_rows.shape[0]
     h, w = resolution
     th, tw = tile_hw
     nty, ntx = -(-h // th), -(-w // tw)
-    num_tiles, k = tile_idx.shape
     k_chunk = _pick_chunk(k)
 
     if padded:
@@ -591,14 +613,11 @@ def _vjp_bwd_v2(resolution, tile_hw, interpret, gated, padded, res,
         d_rows_p = jnp.pad(
             d_rows, ((0, 0), (0, 0), (0, nty * th - h), (0, ntx * tw - w))
         )
-    # bin triangle indices as a small float table (shared across batch)
-    tri_f = jnp.minimum(tile_idx, t_count - 1).astype(jnp.float32)
-    tids = jnp.broadcast_to(tri_f[:, None, :], (num_tiles, 8, k))
 
     q_rows = _pick_qrows(th)
     kernel = functools.partial(
         _bwd_kernel_v2, th=th, tw=tw, ntx=ntx, k_chunk=k_chunk,
-        q_rows=q_rows,
+        q_rows=q_rows, zero_tail=zero_tail,
     )
     bwd_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -624,9 +643,8 @@ def _vjp_bwd_v2(resolution, tile_hw, interpret, gated, padded, res,
             memory_space=pltpu.VMEM,
         ),
     )
-    # d_bin comes out directly in the flat (B, 32, num_tiles*K) layout the
-    # inverted-bin gather consumes — no swapaxes relayout
-    d_bin_flat = pl.pallas_call(
+    # d_bin comes out directly in the flat (B, 32, num_tiles*K) layout
+    return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
             (b, PACKED_WIDTH, num_tiles * k), jnp.float32
@@ -634,6 +652,23 @@ def _vjp_bwd_v2(resolution, tile_hw, interpret, gated, padded, res,
         grid_spec=bwd_grid,
         interpret=interpret,
     )(tile_counts, bounds, ids_cm, tids, d_rows_p)
+
+
+def _vjp_bwd_v2(resolution, tile_hw, interpret, gated, padded, res,
+                cotangents):
+    (packed_shape, tile_idx, tile_counts, ids_cm, inv_pos, inv_valid,
+     bounds) = res
+    _, d_rows = cotangents
+    b, width, t_count = packed_shape
+    num_tiles, k = tile_idx.shape
+
+    # bin triangle indices as a small float table (shared across batch)
+    tri_f = jnp.minimum(tile_idx, t_count - 1).astype(jnp.float32)
+    tids = jnp.broadcast_to(tri_f[:, None, :], (num_tiles, 8, k))
+    d_bin_flat = _dbin_flat(
+        d_rows, ids_cm, tids, tile_counts, bounds, num_tiles, k,
+        resolution, tile_hw, interpret, padded,
+    )
 
     # per-triangle reduction over its <=M tile occurrences (lane gathers)
     m = inv_pos.shape[1]
@@ -657,3 +692,77 @@ def _vjp_bwd_v2(resolution, tile_hw, interpret, gated, padded, res,
 
 
 raster_gather_rows_v2.defvjp(_vjp_fwd_v2, _vjp_bwd_v2)
+
+
+# ---------------------------------------------------------------------------
+# bin-ordered variant: the packed table arrives ALREADY in per-tile bin
+# layout (planar.pack_binned), so the forward needs no lane gather and the
+# backward's d_bin IS the packed cotangent — no inverted-bin reduction.
+# The pose gradient flows through the packing math (an MXU einsum) instead.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def raster_gather_rows_binned(
+    bins: Array,
+    tile_counts: Array,
+    resolution: Tuple[int, int],
+    tile_hw: Tuple[int, int],
+    interpret: bool = False,
+    gated: bool = True,
+    padded: bool = False,
+) -> Tuple[Array, Array]:
+    """Rasterize + row gather from a bin-ordered packed table.
+
+    Args:
+        bins: (B, 32, num_tiles*K) packed table in bin-slot order
+            (planar.pack_binned); lane 13 = global triangle index.
+        tile_counts: (num_tiles,) int32 bin occupancies.
+
+    Returns: same contract as raster_gather_rows_v2.
+    """
+    ids_cm, rows, _ = _fwd_from_bins(
+        bins, tile_counts, resolution, tile_hw, interpret, gated
+    )
+    ids = _untangle_ids(
+        ids_cm, resolution, padded, q=_pick_qrows(tile_hw[0]), tw=tile_hw[1]
+    )
+    if not padded:
+        rows = rows[:, :, : resolution[0], : resolution[1]]
+    ids = jax.ad_checkpoint.checkpoint_name(ids, "raster_ids")
+    rows = jax.ad_checkpoint.checkpoint_name(rows, "raster_rows")
+    return ids, rows
+
+
+def _vjp_fwd_binned(bins, tile_counts, resolution, tile_hw, interpret=False,
+                    gated=True, padded=False):
+    ids_cm, rows, bounds = _fwd_from_bins(
+        bins, tile_counts, resolution, tile_hw, interpret, gated
+    )
+    ids = _untangle_ids(
+        ids_cm, resolution, padded, q=_pick_qrows(tile_hw[0]), tw=tile_hw[1]
+    )
+    rows_out = rows if padded else rows[:, :, : resolution[0], : resolution[1]]
+    num_tiles = tile_counts.shape[0]
+    k = bins.shape[2] // num_tiles
+    # lane 13 (global tri index) is identical across hypotheses; one copy
+    # is enough for the backward's indicator tables
+    tids = jnp.broadcast_to(
+        bins[0, 13, :].reshape(num_tiles, 1, k), (num_tiles, 8, k)
+    )
+    res = (tids, tile_counts, ids_cm, bounds)
+    return (ids, rows_out), res
+
+
+def _vjp_bwd_binned(resolution, tile_hw, interpret, gated, padded, res,
+                    cotangents):
+    tids, tile_counts, ids_cm, bounds = res
+    _, d_rows = cotangents
+    num_tiles, _, k = tids.shape
+    d_bins = _dbin_flat(
+        d_rows, ids_cm, tids, tile_counts, bounds, num_tiles, k,
+        resolution, tile_hw, interpret, padded, zero_tail=True,
+    )
+    return (d_bins, np.zeros(tile_counts.shape, jax.dtypes.float0))
+
+
+raster_gather_rows_binned.defvjp(_vjp_fwd_binned, _vjp_bwd_binned)
