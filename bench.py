@@ -171,6 +171,18 @@ def build_problem():
 def main():
     import jax
 
+    import os as _os
+    if _os.environ.get("DD_ONCHIP_CHECK") == "1":
+        # on-hardware exactness assertions for the production kernels
+        # (tools/onchip_check.py); runs before the timing so a FAIL is
+        # visible even if the bench then proceeds
+        sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+        from onchip_check import check
+
+        rc = check(log)
+        if rc != 0:
+            log("onchip check FAILED (continuing to bench)")
+
     from diffdope_tpu.losses import select_losses
     import functools
 
