@@ -164,6 +164,7 @@ def build_problem():
         proj=proj, pos=pos, tri=tri, edge_adj=edge_adj,
         tile_hw=(tile_h, 128), max_k=max_k, cull=cull, max_occ=max_occ,
         corner_colors=kw.get("corner_colors"), vtx_color=kw.get("vtx_color"),
+        tex=kw.get("tex"), uv=kw.get("uv"), uv_idx=kw.get("uv_idx"),
     )
     return render_fn, gt, params0, fused_ctx
 
@@ -199,11 +200,12 @@ def main():
     # touch HBM; DD_FUSED=0 falls back to render_batch + losses
     import os
     fused_fn = None
-    has_colors = (
+    has_appearance = (
         fused_ctx["corner_colors"] is not None
         or fused_ctx["vtx_color"] is not None
+        or fused_ctx["tex"] is not None
     )
-    if os.environ.get("DD_FUSED", "1") == "1" and has_colors:
+    if os.environ.get("DD_FUSED", "1") == "1" and has_appearance:
         from diffdope_tpu.render.pipeline import make_fused_loss
 
         fused_fn = make_fused_loss(
@@ -212,11 +214,17 @@ def main():
             edge_adj=fused_ctx["edge_adj"],
             corner_colors=fused_ctx["corner_colors"],
             vtx_color=fused_ctx["vtx_color"],
+            tex=fused_ctx["tex"], uv=fused_ctx["uv"],
+            uv_idx=fused_ctx["uv_idx"],
             tile_hw=fused_ctx["tile_hw"],
             max_tris_per_tile=fused_ctx["max_k"],
             cull_backfaces=fused_ctx["cull"], max_occ=fused_ctx["max_occ"],
         )
-        log("loss path: fused kernel")
+        log(
+            "loss path: fused kernel"
+            + (" (semi-fused exact texture)" if fused_ctx["tex"] is not None
+               else "")
+        )
 
     jit_refine = jax.jit(
         functools.partial(

@@ -334,8 +334,12 @@ class DiffDope:
             return None
 
         arrays = self._mesh_arrays()
-        if arrays.get("corner_colors") is None and arrays.get("vtx_color") is None:
-            return None  # exact texture sampling runs unfused
+        if (
+            arrays.get("corner_colors") is None
+            and arrays.get("vtx_color") is None
+            and arrays.get("tex") is None
+        ):
+            return None
         impl = self.raster_impl
         if impl == "auto":
             impl = "reference" if arrays["pos_idx"].shape[0] <= 256 else "pallas"
@@ -356,6 +360,8 @@ class DiffDope:
             edge_adj=arrays.get("edge_adj"),
             corner_colors=arrays.get("corner_colors"),
             vtx_color=arrays.get("vtx_color"),
+            tex=arrays.get("tex"), uv=arrays.get("uv"),
+            uv_idx=arrays.get("uv_idx"),
             tile_hw=self.tile_hw, max_tris_per_tile=max_tris, bins=bins,
         )
 

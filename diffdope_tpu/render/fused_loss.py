@@ -76,13 +76,17 @@ def pick_slab_h(hp: int, target: int = 64, wp: int = 512) -> int:
 
 
 def _window_terms(
-    rows_w, ids_w, gt_w, dpl_w, x, y, valid, loss_mask, n_attr: int
+    rows_w, ids_w, gt_w, dpl_w, x, y, valid, loss_mask, n_attr: int,
+    colors_w=None,
 ):
     """Loss-term partial sums over one (hs+4)-row slab window (pure jnp).
 
     rows_w (32, hw, Wp), ids_w (hw, Wp) i32, gt_w (6, hw, Wp) planes
     [seg0..2, rgb0..2], dpl_w optional (hw, Wp) = gt_depth + t_z,
     x (1, Wp) / y (hw, 1) NDC, valid/loss_mask (hw, Wp) bool.
+    colors_w: optional (3, hw, Wp) PRE-SAMPLED color planes (semi-fused
+    exact-texture path) used for the rgb term instead of the rows'
+    interpolated attribute planes; must be foreground-masked by the caller.
 
     Exact reference semantics (diffdope.py:547-613): every term is an L1,
     rgb/depth masked by the gt segmentation; the depth term uses
@@ -108,9 +112,8 @@ def _window_terms(
     r_sum = jnp.float32(0.0)
     for c in range(3):
         m_sum = m_sum + jnp.sum(jnp.abs(aa - gt_w[c]) * lm)
-        r_sum = r_sum + jnp.sum(
-            jnp.abs(attrs[c][0] - gt_w[3 + c]) * gt_w[c] * lm
-        )
+        rc = colors_w[c] if colors_w is not None else attrs[c][0]
+        r_sum = r_sum + jnp.sum(jnp.abs(rc - gt_w[3 + c]) * gt_w[c] * lm)
     if dpl_w is not None:
         d_sum = jnp.sum(jnp.abs(attrs[n_attr - 1][0] + dpl_w) * gt_w[0] * lm)
     else:
@@ -131,7 +134,7 @@ def _window_geometry(si, hs, h, w, wp):
 
 
 def _assemble(ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, gt_t, gt_b,
-              dpl=None):
+              dpl=None, cols=None):
     """Concatenate main slab + 2-row halos into (hs+4)-row windows.
 
     The halo blocks are overlapping BlockSpec windows over the SAME raw
@@ -163,32 +166,70 @@ def _assemble(ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, gt_t, gt_b,
             [zd if dpl_t is None else dpl_t[0, 6:8], dpl_m[0],
              zd if dpl_b is None else dpl_b[0, 0:2]], axis=0
         )
-    return ids_w, rows_w, gt_w, dpl_w
+    cols_w = None
+    if cols is not None:
+        cols_m, cols_t, cols_b = cols
+        zc = jnp.zeros((3, 2, wp), jnp.float32)
+        cols_w = jnp.concatenate(
+            [zc if cols_t is None else cols_t[0][:, 6:8], cols_m[0],
+             zc if cols_b is None else cols_b[0][:, 0:2]], axis=1
+        )
+    return ids_w, rows_w, gt_w, dpl_w, cols_w
 
 
-def _fwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth):
+def _unpack(refs, with_depth, with_colors, halos):
+    """Split the flat ref list per the canonical operand order:
+    ids x3, rows x3, gt main [+2 halos], dpl main [+2], colors main [+2]."""
+    ids3 = refs[0:3]
+    rows3 = refs[3:6]
+    i = 6
+    gt_m = refs[i]
+    i += 1
+    gt_t = gt_b = None
+    if halos:
+        gt_t, gt_b = refs[i], refs[i + 1]
+        i += 2
+    dpl = None
     if with_depth:
-        (ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, dpl_m,
-         out_ref) = refs
-        dpl = (dpl_m, None, None)
-    else:
-        (ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, out_ref) = refs
-        dpl = None
+        if halos:
+            dpl = (refs[i], refs[i + 1], refs[i + 2])
+            i += 3
+        else:
+            dpl = (refs[i], None, None)
+            i += 1
+    cols = None
+    if with_colors:
+        if halos:
+            cols = (refs[i], refs[i + 1], refs[i + 2])
+            i += 3
+        else:
+            cols = (refs[i], None, None)
+            i += 1
+    return ids3, rows3, (gt_m, gt_t, gt_b), dpl, cols, i
+
+
+def _fwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth, with_colors=False):
+    ids3, rows3, gts, dpl, cols, i = _unpack(
+        refs[:-1], with_depth, with_colors, halos=False
+    )
+    out_ref = refs[-1]
     si = pl.program_id(1)
-    ids_w, rows_w, gt_w, dpl_w = _assemble(
-        ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, None, None, dpl
+    ids_w, rows_w, gt_w, dpl_w, cols_w = _assemble(
+        *ids3, *rows3, *gts, dpl, cols
     )
     x, y, valid, own = _window_geometry(si, hs, h, w, wp)
 
     # slabs with no foreground anywhere in the window (incl. halos, which
     # could seed antialias pairs) reduce to gt-only constants: aa == 0 and
-    # every attribute == 0, so |0 - gt| terms remain — computed directly
-    # instead of running the full shade+AA (typically ~half the slabs)
+    # every attribute == 0 (colors are fg-masked), so |0 - gt| terms remain
+    # — computed directly instead of running the full shade+AA (typically
+    # ~half the slabs)
     active = jnp.any(ids_w > 0)
 
     def full(_):
         return _window_terms(
-            rows_w, ids_w, gt_w, dpl_w, x, y, valid, valid & own, n_attr
+            rows_w, ids_w, gt_w, dpl_w, x, y, valid, valid & own, n_attr,
+            cols_w,
         )
 
     def bg_only(_):
@@ -213,18 +254,23 @@ def _fwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth):
     )
 
 
-def _bwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth):
+def _bwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth, with_colors=False):
+    ids3, rows3, gts, dpl, cols, i = _unpack(
+        refs, with_depth, with_colors, halos=True
+    )
+    dsum = refs[i]
+    d_rows_ref = refs[i + 1]
+    j = i + 2
+    d_dpl_ref = None
     if with_depth:
-        (ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, gt_t, gt_b,
-         dpl_m, dpl_t, dpl_b, dsum, d_rows_ref, d_dpl_ref) = refs
-        dpl = (dpl_m, dpl_t, dpl_b)
-    else:
-        (ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, gt_t, gt_b,
-         dsum, d_rows_ref) = refs
-        dpl = None
+        d_dpl_ref = refs[j]
+        j += 1
+    d_cols_ref = None
+    if with_colors:
+        d_cols_ref = refs[j]
     si = pl.program_id(1)
-    ids_w, rows_w, gt_w, dpl_w = _assemble(
-        ids_m, ids_t, ids_b, rows_m, rows_t, rows_b, gt_m, gt_t, gt_b, dpl
+    ids_w, rows_w, gt_w, dpl_w, cols_w = _assemble(
+        *ids3, *rows3, *gts, dpl, cols
     )
     x, y, valid, own = _window_geometry(si, hs, h, w, wp)
     # extended mask: the interior d_rows also receive contributions from the
@@ -247,29 +293,41 @@ def _bwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth):
     # no-foreground windows: aa/attrs are identically zero, and the only
     # d_rows a background pixel could carry (through the zero attribute
     # planes) would be discarded by the raster backward's winner indicator
-    # anyway (ids == 0 matches nothing) -> skip the vjp entirely
+    # anyway (ids == 0 matches nothing) -> skip the vjp entirely.  Colors
+    # are fg-masked upstream, so their bg cotangent is irrelevant (killed
+    # by the fg factor outside) -> zeros.
     active = jnp.any(ids_w > 0)
 
     @pl.when(active)
     def _full():
+        diff_args = [rows_w]
         if with_depth:
-            def f(rw, dw):
-                return _window_terms(
-                    rw, ids_w, gt_w, dw, x, y, valid, lm, n_attr
-                )
+            diff_args.append(dpl_w)
+        if with_colors:
+            diff_args.append(cols_w)
 
-            _, pull = jax.vjp(f, rows_w, dpl_w)
-            d_rows_w, d_dpl_w = pull((dm, dr, dd))
-            d_dpl_ref[0] = d_dpl_w[2 : 2 + hs]
-        else:
-            def f(rw):
-                return _window_terms(
-                    rw, ids_w, gt_w, None, x, y, valid, lm, n_attr
-                )
+        def f(rw, *rest):
+            k = 0
+            dw = None
+            cw = None
+            if with_depth:
+                dw = rest[k]
+                k += 1
+            if with_colors:
+                cw = rest[k]
+            return _window_terms(
+                rw, ids_w, gt_w, dw, x, y, valid, lm, n_attr, cw
+            )
 
-            _, pull = jax.vjp(f, rows_w)
-            (d_rows_w,) = pull((dm, dr, dd))
-        d_rows_ref[0] = d_rows_w[:, 2 : 2 + hs, :]
+        _, pull = jax.vjp(f, *diff_args)
+        grads = pull((dm, dr, dd))
+        d_rows_ref[0] = grads[0][:, 2 : 2 + hs, :]
+        k = 1
+        if with_depth:
+            d_dpl_ref[0] = grads[k][2 : 2 + hs]
+            k += 1
+        if with_colors:
+            d_cols_ref[0] = grads[k][:, 2 : 2 + hs, :]
 
     @pl.when(jnp.logical_not(active))
     def _bg():
@@ -280,9 +338,12 @@ def _bwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth):
             lmf = lm.astype(jnp.float32)
             d_dpl_w = dd * jnp.sign(dpl_w) * gt_w[0] * lmf
             d_dpl_ref[0] = d_dpl_w[2 : 2 + hs]
+        if with_colors:
+            d_cols_ref[0] = jnp.zeros(d_cols_ref.shape[1:], jnp.float32)
 
 
-def _specs(b, width, hs, wp, ns, with_depth, gt_halos=True):
+def _specs(b, width, hs, wp, ns, with_depth, gt_halos=True,
+           with_colors=False):
     """in_specs for [ids x3, rows x3, gt x1|3, dpl x1|3?] (fwd passes
     gt_halos=False: its loss rows never read gt beyond the main slab).
 
@@ -326,10 +387,23 @@ def _specs(b, width, hs, wp, ns, with_depth, gt_halos=True):
                 pl.BlockSpec((1, 8, wp), lambda bi, si: (bi, top(si), 0)),
                 pl.BlockSpec((1, 8, wp), lambda bi, si: (bi, bot(si), 0)),
             ]
+    if with_colors:
+        specs += [
+            pl.BlockSpec((1, 3, hs, wp), lambda bi, si: (bi, 0, si, 0)),
+        ]
+        if gt_halos:
+            specs += [
+                pl.BlockSpec(
+                    (1, 3, 8, wp), lambda bi, si: (bi, 0, top(si), 0)
+                ),
+                pl.BlockSpec(
+                    (1, 3, 8, wp), lambda bi, si: (bi, 0, bot(si), 0)
+                ),
+            ]
     return specs
 
 
-def _operands(rows, ids, gt6, dplane, hs, gt_halos=True):
+def _operands(rows, ids, gt6, dplane, colors, hs, gt_halos=True):
     """Operand list: main AND halo blocks are BlockSpec windows over the
     same raw arrays (see _specs) — no halo copies are built."""
     b, width, hp, wp = rows.shape
@@ -341,15 +415,20 @@ def _operands(rows, ids, gt6, dplane, hs, gt_halos=True):
         ops.append(dplane)
         if gt_halos:
             ops += [dplane, dplane]
+    if colors is not None:
+        ops.append(colors)
+        if gt_halos:
+            ops += [colors, colors]
     return ops, ns
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def fused_loss_sums(
     rows: Array,
     ids: Array,
     gt6: Array,
     dplane: Optional[Array],
+    colors: Optional[Array],
     resolution: Tuple[int, int],
     n_attr: int = 4,
     interpret: bool = False,
@@ -363,67 +442,79 @@ def fused_loss_sums(
             zero-padded past (H, W).
         dplane: None, or (B, Hp, Wp) = gt_depth + t_z per hypothesis (the
             depth L1 |render - gt| * seg0 equals |attr_z + dplane| * seg0).
+        colors: None, or (B, 3, Hp, Wp) pre-sampled color planes (the
+            semi-fused exact-texture path) used for the rgb term instead of
+            the rows' interpolated color attributes.  MUST be
+            foreground-masked (colors * (ids > 0)); background cotangents
+            come back as zeros (the fg factor outside kills them anyway).
         resolution: real (H, W) — pixels beyond are excluded exactly.
-        n_attr: attribute channels in the packed rows (color 3 + depth 1).
+        n_attr: attribute channels in the packed rows (color 3 + depth 1,
+            or uv 2 + depth 1 with `colors`).
 
     Returns:
         (B, 3) float32: [mask_sum, rgb_sum, depth_sum] — raw L1 sums
         (divide by pixel counts outside; see pipeline.make_fused_loss).
 
-    Differentiable w.r.t. `rows` (and `dplane`); `gt6` is treated as a
-    CONSTANT — its cotangent is zero by design (ground truth is never
+    Differentiable w.r.t. `rows` (and `dplane`/`colors`); `gt6` is treated
+    as a CONSTANT — its cotangent is zero by design (ground truth is never
     optimized here).  Use the unfused render_batch + losses path to
     differentiate a loss w.r.t. the target images.
     """
-    sums, _ = _fwd(rows, ids, gt6, dplane, resolution, n_attr, interpret)
+    sums, _ = _fwd(rows, ids, gt6, dplane, colors, resolution, n_attr,
+                   interpret)
     return sums
 
 
-def _fwd(rows, ids, gt6, dplane, resolution, n_attr, interpret):
+def _fwd(rows, ids, gt6, dplane, colors, resolution, n_attr, interpret):
     b, width, hp, wp = rows.shape
     h, w = resolution
     hs = pick_slab_h(hp, target=32, wp=wp)
-    ops, ns = _operands(rows, ids, gt6, dplane, hs, gt_halos=False)
+    ops, ns = _operands(rows, ids, gt6, dplane, colors, hs, gt_halos=False)
     with_depth = dplane is not None
+    with_colors = colors is not None
     kernel = functools.partial(
         _fwd_kernel, hs=hs, h=h, w=w, wp=wp, n_attr=n_attr,
-        with_depth=with_depth,
+        with_depth=with_depth, with_colors=with_colors,
     )
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, ns, 8, 128), jnp.float32),
         grid=(b, ns),
-        in_specs=_specs(b, width, hs, wp, ns, with_depth, gt_halos=False),
+        in_specs=_specs(b, width, hs, wp, ns, with_depth, gt_halos=False,
+                        with_colors=with_colors),
         out_specs=pl.BlockSpec((1, 1, 8, 128), lambda bi, si: (bi, si, 0, 0)),
         interpret=interpret,
     )(*ops)
     return jnp.sum(out[:, :, 0, :3], axis=1), None
 
 
-def _vjp_fwd(rows, ids, gt6, dplane, resolution, n_attr, interpret):
-    sums, _ = _fwd(rows, ids, gt6, dplane, resolution, n_attr, interpret)
-    return sums, (rows, ids, gt6, dplane)
+def _vjp_fwd(rows, ids, gt6, dplane, colors, resolution, n_attr, interpret):
+    sums, _ = _fwd(rows, ids, gt6, dplane, colors, resolution, n_attr,
+                   interpret)
+    return sums, (rows, ids, gt6, dplane, colors)
 
 
 def _vjp_bwd(resolution, n_attr, interpret, res, d_sums):
-    rows, ids, gt6, dplane = res
+    rows, ids, gt6, dplane, colors = res
     b, width, hp, wp = rows.shape
     h, w = resolution
     # smaller slabs than the forward: the in-kernel vjp roughly doubles the
     # live window temps, and 32-row slabs measured right at the 16 MiB
     # scoped-vmem ceiling at bench scale (W=512)
     hs = pick_slab_h(hp, target=24, wp=wp)
-    ops, ns = _operands(rows, ids, gt6, dplane, hs)
+    ops, ns = _operands(rows, ids, gt6, dplane, colors, hs)
     with_depth = dplane is not None
+    with_colors = colors is not None
 
     d_pad = jnp.zeros((b, 8, 128), jnp.float32)
     d_pad = d_pad.at[:, 0, :3].set(d_sums)
 
     kernel = functools.partial(
         _bwd_kernel, hs=hs, h=h, w=w, wp=wp, n_attr=n_attr,
-        with_depth=with_depth,
+        with_depth=with_depth, with_colors=with_colors,
     )
-    in_specs = _specs(b, width, hs, wp, ns, with_depth) + [
+    in_specs = _specs(b, width, hs, wp, ns, with_depth,
+                      with_colors=with_colors) + [
         pl.BlockSpec((1, 8, 128), lambda bi, si: (bi, 0, 0)),
     ]
     out_shape = [jax.ShapeDtypeStruct((b, width, hp, wp), jnp.float32)]
@@ -435,6 +526,11 @@ def _vjp_bwd(resolution, n_attr, interpret, res, d_sums):
         out_specs.append(
             pl.BlockSpec((1, hs, wp), lambda bi, si: (bi, si, 0))
         )
+    if with_colors:
+        out_shape.append(jax.ShapeDtypeStruct((b, 3, hp, wp), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 3, hs, wp), lambda bi, si: (bi, 0, si, 0))
+        )
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shape,
@@ -444,9 +540,14 @@ def _vjp_bwd(resolution, n_attr, interpret, res, d_sums):
         interpret=interpret,
     )(*ops, d_pad)
     d_rows = outs[0]
-    d_dpl = outs[1] if with_depth else None
+    k = 1
+    d_dpl = None
+    if with_depth:
+        d_dpl = outs[k]
+        k += 1
+    d_cols = outs[k] if with_colors else None
     d_ids = np.zeros(ids.shape, jax.dtypes.float0)
-    return (d_rows, d_ids, jnp.zeros_like(gt6), d_dpl)
+    return (d_rows, d_ids, jnp.zeros_like(gt6), d_dpl, d_cols)
 
 
 fused_loss_sums.defvjp(_vjp_fwd, _vjp_bwd)

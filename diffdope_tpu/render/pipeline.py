@@ -340,6 +340,9 @@ def make_fused_loss(
     edge_adj: Optional[Array] = None,
     corner_colors: Optional[Array] = None,
     vtx_color: Optional[Array] = None,
+    tex: Optional[Array] = None,
+    uv: Optional[Array] = None,
+    uv_idx: Optional[Array] = None,
     tile_hw: Tuple[int, int] = (32, 128),
     max_tris_per_tile: int = 1024,
     bins: Optional[Tuple[Array, Array, Array, Array]] = None,
@@ -355,9 +358,13 @@ def make_fused_loss(
     means, per-hypothesis learning-rate scaling, weighted total, and the
     reference log keys in registration order (rgb, depth, mask_selection).
 
-    Covers the standard configuration (pallas raster + per-corner color
-    planes + the three reference losses); texture-sampled color or custom
-    loss functions use the unfused render_batch path instead.
+    Covers the standard configurations (pallas raster + the three
+    reference losses) with per-corner color planes OR exact per-pixel
+    bilinear texture (tex/uv/uv_idx — the SEMI-FUSED path: the kernel
+    interpolates uv in its rows, colors are sampled between the raster and
+    loss kernels with the planar sampler, and their cotangent flows back
+    through the same kernel); custom loss functions use the unfused
+    render_batch path instead.
 
     gt=None defers the ground truth: the returned fn has signature
     ``fn(mtx, gt)`` with gt a traced {'rgb','segmentation'[,'depth']} dict —
@@ -383,12 +390,19 @@ def make_fused_loss(
     flat_idx = pos_idx.reshape(-1)
     pos_c = pos[flat_idx][None] if pos.ndim == 2 else jnp.take(pos, flat_idx, axis=1)
 
-    if corner_colors is not None:
+    texture_mode = tex is not None
+    if texture_mode:
+        if uv is None or uv_idx is None:
+            raise ValueError("fused texture loss requires uv and uv_idx")
+        attr_corner_vals = uv[uv_idx.reshape(-1)].reshape(t_count, 3, 2)
+    elif corner_colors is not None:
         attr_corner_vals = corner_colors
     elif vtx_color is not None:
         attr_corner_vals = vtx_color[flat_idx].reshape(t_count, 3, 3)
     else:
-        raise ValueError("fused loss requires corner_colors or vtx_color")
+        raise ValueError(
+            "fused loss requires corner_colors, vtx_color, or tex(+uv)"
+        )
     n_attr = attr_corner_vals.shape[-1] + 1
 
     degenerate = (
@@ -494,8 +508,32 @@ def make_fused_loss(
         dplane = None
         if use_depth:
             dplane = gtd_p[None] + mtx[..., 2, 3][:, None, None]
+        colors = None
+        if texture_mode:
+            # semi-fused exact texture: interpolate uv from the padded
+            # rows (same math the kernel uses), sample the texture with
+            # the planar bilinear sampler, mask to foreground, and hand
+            # the color planes to the loss kernel (reference per-pixel
+            # bilinear contract, diffdope.py:218-228)
+            from diffdope_tpu.render.shade import shade_from_rows
+            from diffdope_tpu.render.texture import texture_planar
+
+            hp_, wp_ = rows.shape[2], rows.shape[3]
+            colp = jax.lax.broadcasted_iota(jnp.int32, (1, wp_), 1)
+            rowp = jax.lax.broadcasted_iota(jnp.int32, (hp_, 1), 0)
+            xg = (2.0 * colp.astype(jnp.float32) + 1.0) / w - 1.0
+            yg = (2.0 * rowp.astype(jnp.float32) + 1.0) / h - 1.0
+            shd = shade_from_rows(
+                ids, rows, (hp_, wp_), attr_channels=2,
+                stack_outputs=False, xy=(xg, yg),
+            )
+            up, vp = shd["attrs_list"][0], shd["attrs_list"][1]
+            fg = (ids > 0).astype(rows.dtype)
+            cplanes = texture_planar(tex, up, vp)
+            colors = jnp.stack([c * fg for c in cplanes], axis=1)
         sums = fused_loss_sums(
-            rows, ids, gt6, dplane, tuple(resolution), n_attr, interpret
+            rows, ids, gt6, dplane, colors, tuple(resolution), n_attr,
+            interpret
         )
 
         total = jnp.float32(0.0)

@@ -85,7 +85,7 @@ def _pick_qrows(th: int) -> int:
 def _fwd_kernel_v2(
     counts_ref, bounds_ref, qwin_ref,
     bins_ref, ids_ref, rows_ref,
-    *, th, tw, ntx, h, w, k_chunk, q_rows,
+    *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False,
 ):
     """Vectorized forward: see module docstring.
 
@@ -174,6 +174,15 @@ def _fwd_kernel_v2(
         a1, b1, c1 = lane(3) * sgn, lane(4) * sgn, lane(5) * sgn
         a2, b2, c2 = lane(6) * sgn, lane(7) * sgn, lane(8) * sgn
         az, bz, cz = lane(9), lane(10), lane(11)
+        if eval_bf16:
+            # DD_EVAL_BF16=1: edge tests in bf16 (double VPU rate).  The
+            # depth plane stays f32 (winner selection quality).  Coverage
+            # can flip at pixels within ~bf16-eps of an edge — NOT exact
+            # vs the reference rasterization; measured behind the flag.
+            bf = jnp.bfloat16
+            a0, b0, c0 = a0.astype(bf), b0.astype(bf), c0.astype(bf)
+            a1, b1, c1 = a1.astype(bf), b1.astype(bf), c1.astype(bf)
+            a2, b2, c2 = a2.astype(bf), b2.astype(bf), c2.astype(bf)
         # reciprocal once per triangle (1, kc) — a (tw, kc) divide costs
         # ~10x a multiply on the VPU
         inv_det = 1.0 / jnp.where(det != 0.0, det, 1.0)
@@ -191,9 +200,14 @@ def _fwd_kernel_v2(
             yq = (
                 2.0 * rows_i.astype(jnp.float32) + 1.0
             ) / h - 1.0  # (q*tw, 1)
-            e0 = xq * a0 + (yq * b0 + c0)
-            e1 = xq * a1 + (yq * b1 + c1)
-            e2 = xq * a2 + (yq * b2 + c2)
+            if eval_bf16:
+                xqe = xq.astype(jnp.bfloat16)
+                yqe = yq.astype(jnp.bfloat16)
+            else:
+                xqe, yqe = xq, yq
+            e0 = xqe * a0 + (yqe * b0 + c0)
+            e1 = xqe * a1 + (yqe * b1 + c1)
+            e2 = xqe * a2 + (yqe * b2 + c2)
             zlin = xq * az + (yq * bz + cz)
             covered = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0
             z = zlin * inv_det
@@ -539,9 +553,12 @@ def _fwd_from_bins(bins, tile_counts, resolution, tile_hw, interpret,
         )
     qclo, qchi = _quad_windows(rlo, rhi, th, ntx, q_rows, h)
     qwin = (qclo * 256 + qchi).reshape(-1).astype(jnp.int32)
+    import os
+
     kernel = functools.partial(
         _fwd_kernel_v2, th=th, tw=tw, ntx=ntx, h=h, w=w, k_chunk=k_chunk,
         q_rows=q_rows,
+        eval_bf16=os.environ.get("DD_EVAL_BF16", "0") == "1",
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

@@ -114,6 +114,52 @@ def _bilinear_any_level(
     return top * (1.0 - ay) + bot * ay
 
 
+def texture_planar(
+    tex: Array,
+    u: Array,
+    v: Array,
+    boundary_mode: str = "wrap",
+):
+    """Channel-planar bilinear sampling: same math as
+    ``texture(filter_mode='linear')`` but with planar (B, H, W) u/v inputs
+    and a tuple of C (B, H, W) output planes — no (…, 2)/(…, C) minor dims
+    anywhere (channels-last intermediates lane-pad 4-64x on TPU; this is
+    the sampler for the semi-fused exact-texture loss path,
+    pipeline.make_fused_loss).
+
+    Differentiable w.r.t. u/v (bilinear weights) and tex (gathers).
+    """
+    th, tw, c = tex.shape
+    fx = u * tw - 0.5
+    fy = v * th - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    ax = fx - x0.astype(fx.dtype)
+    ay = fy - y0.astype(fy.dtype)
+    flat = [tex[..., ch].reshape(-1) for ch in range(c)]
+
+    def tap(ix, iy):
+        inside = (ix >= 0) & (ix < tw) & (iy >= 0) & (iy < th)
+        ixw = _wrap_index(ix, tw, boundary_mode)
+        iyw = _wrap_index(iy, th, boundary_mode)
+        lin = (iyw * tw + ixw).reshape(-1)
+        vals = [jnp.take(fc, lin, axis=0).reshape(ix.shape) for fc in flat]
+        if boundary_mode == "zero":
+            vals = [jnp.where(inside, vv, 0.0) for vv in vals]
+        return vals
+
+    c00 = tap(x0, y0)
+    c10 = tap(x0 + 1, y0)
+    c01 = tap(x0, y0 + 1)
+    c11 = tap(x0 + 1, y0 + 1)
+    out = []
+    for ch in range(c):
+        top = c00[ch] * (1.0 - ax) + c10[ch] * ax
+        bot = c01[ch] * (1.0 - ax) + c11[ch] * ax
+        out.append(top * (1.0 - ay) + bot * ay)
+    return tuple(out)
+
+
 def texture(
     tex: Array,
     uv: Array,

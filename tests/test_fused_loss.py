@@ -259,3 +259,72 @@ def test_bin_overflow_telemetry(scene):
         logger.removeHandler(h)
         logger.setLevel(old_level)
     assert not records, records
+
+
+def test_fused_texture_matches_unfused(scene):
+    """Semi-fused exact-texture path (make_fused_loss(tex=...)) must
+    reproduce the unfused render_batch(tex=...) + losses path: totals,
+    logs, and pose gradients (reference per-pixel bilinear contract,
+    diffdope.py:218-228)."""
+    from diffdope_tpu.render.pipeline import render_batch as rb
+
+    v = np.asarray(scene["pos"])
+    n = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-9)
+    uv = np.stack(
+        [0.5 + np.arctan2(n[:, 2], n[:, 0]) / (2 * np.pi),
+         0.5 - np.arcsin(np.clip(n[:, 1], -1, 1)) / np.pi], axis=1
+    ).astype(np.float32)
+    uv = jnp.asarray(uv)
+    uv_idx = scene["tri"]
+    rng = np.random.default_rng(3)
+    tex = jnp.asarray(rng.uniform(0.1, 0.9, (32, 32, 3)).astype(np.float32))
+
+    loss_fns, weights = select_losses(
+        {"l1_mask": True, "weight_mask": 1.0,
+         "l1_rgb_with_mask": True, "weight_rgb": 0.7}
+    )
+    lrs = jnp.asarray([1.0, 2.0, 0.5], jnp.float32)
+
+    def unfused(params):
+        mtx, _, _ = pose_matrix(params)
+        renders = rb(
+            scene["proj"], mtx, scene["pos"], scene["tri"], RES,
+            uv=uv, uv_idx=uv_idx, tex=tex, edge_adj=scene["edge_adj"],
+            raster_impl="pallas", layout="channels", max_tris_per_tile=512,
+        )
+        total = jnp.float32(0.0)
+        logs = {}
+        for fn in loss_fns:
+            term, (key, vals) = fn(renders, scene["gt"], lrs, weights)
+            total = total + term
+            logs[key] = vals
+        return total, logs
+
+    fused_fn = make_fused_loss(
+        scene["proj"], scene["pos"], scene["tri"], RES, scene["gt"], lrs,
+        weights, use_rgb=True, use_mask=True,
+        edge_adj=scene["edge_adj"], tex=tex, uv=uv, uv_idx=uv_idx,
+        max_tris_per_tile=512,
+    )
+
+    def fused(params):
+        mtx, _, _ = pose_matrix(params)
+        return fused_fn(mtx)
+
+    p = scene["params0"]
+    (tu, logs_u), gu = jax.jit(jax.value_and_grad(unfused, has_aux=True))(p)
+    (tf, logs_f), gf = jax.jit(jax.value_and_grad(fused, has_aux=True))(p)
+    logs_f = {k: v for k, v in logs_f.items() if not k.startswith("_")}
+
+    assert set(logs_u) == set(logs_f)
+    np.testing.assert_allclose(tu, tf, rtol=1e-5, atol=1e-7)
+    for k in logs_u:
+        np.testing.assert_allclose(
+            np.asarray(logs_u[k]), np.asarray(logs_f[k]), rtol=1e-5,
+            atol=1e-7, err_msg=f"log {k}",
+        )
+    for k in gu:
+        np.testing.assert_allclose(
+            np.asarray(gu[k]), np.asarray(gf[k]), rtol=2e-4, atol=1e-6,
+            err_msg=f"grad {k}",
+        )
