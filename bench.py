@@ -155,16 +155,45 @@ def build_problem():
     occ = int(_occ(jnp.asarray(q_gt, jnp.float32), jnp.asarray(t_gt, jnp.float32)))
     max_occ = int(os.environ.get("DD_MAX_OCC", str(max(4, occ + 2))))
     log(f"bin occupancy: max {occ} -> inverted-map M={max_occ}")
+
+    # DD_BINS=pre: one conservative binning (margin DD_BIN_MARGIN px) for
+    # the whole refinement — per-step binning/top_k disappear from the
+    # step, and with the bin-ordered packing the static-table gather
+    # becomes loop-invariant too
+    bins = None
+    if os.environ.get("DD_BINS", "step") == "pre":
+        from diffdope_tpu.render.pipeline import precompute_bins
+
+        margin = float(os.environ.get("DD_BIN_MARGIN", "24"))
+        mtx0, _, _ = jax.jit(
+            lambda q, t: pose_matrix(pose_params(q, t, 1))
+        )(jnp.asarray(q_gt, jnp.float32), jnp.asarray(t_gt, jnp.float32))
+        k_pre = max_k
+        for _ in range(3):
+            try:
+                bins = precompute_bins(
+                    proj, mtx0, pos, tri, RES, (tile_h, 128), k_pre, margin,
+                    max_occ="auto",
+                )
+                break
+            except ValueError as e:  # margin overflowed K: widen and retry
+                log(str(e))
+                k_pre = -(-(k_pre * 3 // 2) // 128) * 128
+        log(f"bins: precomputed (margin {margin}px, K={k_pre}, "
+            f"max count {int(np.asarray(bins[1]).max())}, "
+            f"M={bins[2].shape[1]})")
+
     base_render = render_fn
 
     def render_fn(mtx, layout="channels"):
-        return base_render(mtx, layout=layout, max_occ=max_occ)
+        return base_render(mtx, layout=layout, max_occ=max_occ, bins=bins)
 
     fused_ctx = dict(
         proj=proj, pos=pos, tri=tri, edge_adj=edge_adj,
         tile_hw=(tile_h, 128), max_k=max_k, cull=cull, max_occ=max_occ,
         corner_colors=kw.get("corner_colors"), vtx_color=kw.get("vtx_color"),
         tex=kw.get("tex"), uv=kw.get("uv"), uv_idx=kw.get("uv_idx"),
+        bins=bins,
     )
     return render_fn, gt, params0, fused_ctx
 
@@ -219,6 +248,7 @@ def main():
             tile_hw=fused_ctx["tile_hw"],
             max_tris_per_tile=fused_ctx["max_k"],
             cull_backfaces=fused_ctx["cull"], max_occ=fused_ctx["max_occ"],
+            bins=fused_ctx["bins"],
         )
         log(
             "loss path: fused kernel"

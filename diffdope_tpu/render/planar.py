@@ -455,8 +455,21 @@ def bin_triangles_planar(
     overflow = jnp.sum(jnp.maximum(counts_full - k, 0))
     if sort_by_y:
         # order slots by the triangle's min screen y (behind-camera first —
-        # they are row-unbounded; sentinels stay last)
-        key_t = jnp.where(behind, -jnp.inf, py_min)  # (T,)
+        # they are row-unbounded; sentinels stay last).  DD_SORT_BAND=N
+        # sorts by (y-band of N rows, then min screen x) instead, giving
+        # chunks x-locality so the raster kernel's x-subwindow gating
+        # (DD_XWIN) can cut evaluated columns; pure-y sort gates rows
+        # tightest, the banded sort trades a little row range for column
+        # range.  All key components stay integers < 2^24 — exact in f32.
+        import os
+
+        band = int(os.environ.get("DD_SORT_BAND", "0"))
+        if band > 0:
+            band_i = jnp.floor(py_min / band)
+            x_i = jnp.clip(jnp.floor(px_min), -w, 2 * w) + w
+            key_t = jnp.where(behind, -jnp.inf, band_i * (4 * w) + x_i)
+        else:
+            key_t = jnp.where(behind, -jnp.inf, py_min)  # (T,)
         keys = jnp.where(
             idx < t_count,
             jnp.take(key_t, jnp.minimum(idx, t_count - 1)),

@@ -83,9 +83,9 @@ def _pick_qrows(th: int) -> int:
 
 
 def _fwd_kernel_v2(
-    counts_ref, bounds_ref, qwin_ref,
-    bins_ref, ids_ref, rows_ref,
-    *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False,
+    counts_ref, bounds_ref, qwin_ref, xwin_ref,
+    bins_ref, ids_ref, rows_ref, zb_s, ib_s,
+    *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False, xw=0,
 ):
     """Vectorized forward: see module docstring.
 
@@ -151,6 +151,135 @@ def _fwd_kernel_v2(
         return jnp.sum(
             jnp.where(colq_iota == qi, mat, 0.0), axis=1, keepdims=True
         )
+
+    # ---- phase A (x-windowed variant, xw > 0): per (chunk, quad), only
+    # evaluate the chunk's conservative column range, xw columns at a time.
+    # Layout flip vs the full-width path: the eval tensor is
+    # (xw sublanes, q*kc lanes), lane l = j*kc + k (row-major groups, so
+    # per-j reductions are STATIC lane slices), and the best-z/id state
+    # lives in VMEM scratch (q*tw, nq) in the same row-major quad-major
+    # layout phase C expects — merged through dynamic 8-aligned sublane
+    # windows.  Overlapping windows double-evaluate columns, which the
+    # min-merge absorbs; coverage itself is still exact.
+    if xw > 0:
+        zb_s[...] = jnp.full((q * tw, nq), _INF, jnp.float32)
+        ib_s[...] = jnp.full((q * tw, nq), _BIG, jnp.float32)
+        nt = pl.num_programs(1)
+        n_chunks_s = n_chunks
+
+        def tile_lanes(v):
+            return jnp.concatenate([v] * q, axis=1)  # (1, kc) -> (1, q*kc)
+
+        jconst = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, q * k_chunk), 1)
+            // k_chunk
+        )
+
+        def chunk_ax(ci, _):
+            base = pl.multiple_of(ci * k_chunk, 128)
+            c32 = bins_ref[0, :, pl.ds(base, k_chunk)]  # (32, kc)
+
+            def lane(j):
+                return c32[j:j + 1, :]
+
+            det = lane(12)
+            ids_f1 = lane(13)
+            sgn = jnp.sign(det)
+            a0, b0, c0 = lane(0) * sgn, lane(1) * sgn, lane(2) * sgn
+            a1, b1, c1 = lane(3) * sgn, lane(4) * sgn, lane(5) * sgn
+            a2, b2, c2 = lane(6) * sgn, lane(7) * sgn, lane(8) * sgn
+            az, bz, cz = lane(9), lane(10), lane(11)
+            inv_det = 1.0 / jnp.where(det != 0.0, det, 1.0)
+            slot = jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1) + base
+            slot_ok1 = (slot < count) & (det != 0)
+            if eval_bf16:
+                bf = jnp.bfloat16
+                a0, b0, c0 = a0.astype(bf), b0.astype(bf), c0.astype(bf)
+                a1, b1, c1 = a1.astype(bf), b1.astype(bf), c1.astype(bf)
+                a2, b2, c2 = a2.astype(bf), b2.astype(bf), c2.astype(bf)
+            a0t, a1t, a2t, azt = map(tile_lanes, (a0, a1, a2, az))
+            b0t, b1t, b2t, bzt = map(tile_lanes, (b0, b1, b2, bz))
+            c0t, c1t, c2t, czt = map(tile_lanes, (c0, c1, c2, cz))
+            invt = tile_lanes(inv_det)
+            okt = tile_lanes(slot_ok1)
+
+            q_lo, q_hi = quad_range(ci)
+            xv = xwin_ref[(bi * nt + t) * n_chunks_s + ci]
+            clo = xv // 512
+            chi = xv % 512
+            x0a = jnp.minimum((clo // 8) * 8, tw - xw)
+            nw = jnp.maximum(0, (chi - x0a + xw - 1) // xw)
+
+            def quad_body(qi, _):
+                r0 = qi * q
+                rows_i = jconst + (y0 + r0)
+                yv = (2.0 * rows_i.astype(jnp.float32) + 1.0) / h - 1.0
+                if eval_bf16:
+                    yve = yv.astype(jnp.bfloat16)
+                else:
+                    yve = yv
+                # y-dependent halves hoisted out of the window loop
+                ey0 = yve * b0t + c0t
+                ey1 = yve * b1t + c1t
+                ey2 = yve * b2t + c2t
+                eyz = yv * bzt + czt
+
+                def win_body(wi, _):
+                    x0 = pl.multiple_of(
+                        jnp.minimum(x0a + wi * xw, tw - xw), 8
+                    )
+                    xi = (
+                        jax.lax.broadcasted_iota(jnp.int32, (xw, 1), 0)
+                        + (x0 + (t % ntx) * tw)
+                    )
+                    xq = (2.0 * xi.astype(jnp.float32) + 1.0) / w - 1.0
+                    xqe = xq.astype(jnp.bfloat16) if eval_bf16 else xq
+                    e0 = xqe * a0t + ey0   # (xw, q*kc)
+                    e1 = xqe * a1t + ey1
+                    e2 = xqe * a2t + ey2
+                    zlin = xq * azt + eyz
+                    covered = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0
+                    z = zlin * invt
+                    ok = covered & (z >= -1.0) & (z <= 1.0) & okt
+                    zm = jnp.where(ok, z, _INF)
+                    sel = colq_iota == qi
+                    for j in range(q):  # static
+                        zm_j = zm[:, j * k_chunk : (j + 1) * k_chunk]
+                        z_c = jnp.min(zm_j, axis=1, keepdims=True)
+                        id_c = jnp.min(
+                            jnp.where(zm_j == z_c, ids_f1, _BIG),
+                            axis=1, keepdims=True,
+                        )
+                        cur_z = zb_s[pl.ds(j * tw + x0, xw), :]
+                        cur_i = ib_s[pl.ds(j * tw + x0, xw), :]
+                        zb_col = colq_get(cur_z, qi)
+                        ib_col = colq_get(cur_i, qi)
+                        better = z_c < zb_col
+                        same = (z_c == zb_col) & (z_c < _INF)
+                        new_z = jnp.where(better, z_c, zb_col)
+                        new_i = jnp.where(
+                            better, id_c,
+                            jnp.where(
+                                same, jnp.minimum(id_c, ib_col), ib_col
+                            ),
+                        )
+                        zb_s[pl.ds(j * tw + x0, xw), :] = jnp.where(
+                            sel, new_z, cur_z
+                        )
+                        ib_s[pl.ds(j * tw + x0, xw), :] = jnp.where(
+                            sel, new_i, cur_i
+                        )
+                    return 0
+
+                jax.lax.fori_loop(0, nw, win_body, 0)
+                return 0
+
+            jax.lax.fori_loop(q_lo, q_hi, quad_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, used, chunk_ax, 0)
+        zb_mat = zb_s[...]
+        ib_mat = ib_s[...]
 
     # ---- phase A: z-test; the winning id is tracked in the same pass
     # (smallest id among the chunk's zmin holders; strict < across chunks
@@ -237,11 +366,12 @@ def _fwd_kernel_v2(
 
         return jax.lax.fori_loop(q_lo, q_hi, quad_body, carry)
 
-    zb_mat, ib_mat = jax.lax.fori_loop(
-        0, used, chunk_a,
-        (jnp.full((q * tw, nq), _INF, jnp.float32),
-         jnp.full((q * tw, nq), _BIG, jnp.float32)),
-    )
+    if xw == 0:
+        zb_mat, ib_mat = jax.lax.fori_loop(
+            0, used, chunk_a,
+            (jnp.full((q * tw, nq), _INF, jnp.float32),
+             jnp.full((q * tw, nq), _BIG, jnp.float32)),
+        )
 
     # ---- phase C: one-hot row gather on the MXU.  Each triangle appears
     # at most once per bin, so matching the winning id alone (masked to
@@ -507,6 +637,61 @@ def _chunk_row_bounds(bins, tile_counts, k_chunk, h, gated):
     return jnp.clip(rlo, -1, h), jnp.clip(rhi, -1, h)
 
 
+def _chunk_col_bounds(bins, tile_counts, k_chunk, w, tw, ntx, gated):
+    """Per-chunk conservative TILE-LOCAL pixel-column ranges [clo, chi)
+    (B, num_tiles, nc), from the packed x-bound lanes (28/29) — the column
+    twin of _chunk_row_bounds.  Effective only with an x-locality bin sort
+    (DD_SORT_BAND); with the pure y sort the per-chunk x union is ~the
+    whole tile."""
+    b, width, ntk = bins.shape
+    num_tiles = tile_counts.shape[0]
+    k = ntk // num_tiles
+    nc = k // k_chunk
+    if not gated:
+        return (
+            jnp.zeros((b, num_tiles, nc), jnp.int32),
+            jnp.full((b, num_tiles, nc), tw, jnp.int32),
+        )
+    slot_ok = (
+        jnp.arange(k, dtype=jnp.int32)[None, :] < tile_counts[:, None]
+    ).reshape(1, ntk)
+    big = jnp.float32(4.0)
+    xlo = jnp.where(slot_ok, bins[:, PACKED_WIDTH - 4, :], big)
+    xhi = jnp.where(slot_ok, bins[:, PACKED_WIDTH - 3, :], -big)
+    xlo = jnp.min(xlo.reshape(b, num_tiles, nc, k_chunk), axis=-1)
+    xhi = jnp.max(xhi.reshape(b, num_tiles, nc, k_chunk), axis=-1)
+    # pixel col c has NDC x = (2c+1)/w - 1; coverage implies
+    # c in [(xlo+1)w/2 - 1/2, (xhi+1)w/2 - 1/2]; half a column of slack
+    # absorbs f32 rounding (mirrors _chunk_row_bounds)
+    clo = jnp.ceil((xlo + 1.0) * (w / 2.0) - 1.0).astype(jnp.int32)
+    chi = jnp.floor((xhi + 1.0) * (w / 2.0)).astype(jnp.int32) + 1  # excl
+    tx0 = (
+        jnp.arange(num_tiles, dtype=jnp.int32) % ntx
+    )[None, :, None] * tw
+    clo = jnp.clip(clo - tx0, 0, tw)
+    chi = jnp.clip(chi - tx0, 0, tw)
+    return clo, chi
+
+
+def _pack_xwin(clo, chi):
+    """(B, nt, nc) col bounds -> flat (B*nt*nc,) int32, clo*512 + chi
+    (tile-local, so both in [0, 128])."""
+    return (clo * 512 + chi).reshape(-1).astype(jnp.int32)
+
+
+def _pick_xwin(tw: int) -> int:
+    """Static x-subwindow width for the forward's phase A (0 = disabled).
+
+    Windows narrower than the tile only pay off when chunks have
+    x-locality — enable together with DD_SORT_BAND."""
+    import os
+
+    xw = int(os.environ.get("DD_XWIN", "0"))
+    if xw <= 0 or xw >= tw:
+        return 0
+    return max(8, (xw // 8) * 8)
+
+
 def _pack_bounds(rlo, rhi, h):
     """(B, nt, nc) bounds -> flat (B*nt*nc,) int32, (rlo+1)*1024 + (rhi+1).
 
@@ -555,13 +740,24 @@ def _fwd_from_bins(bins, tile_counts, resolution, tile_hw, interpret,
     qwin = (qclo * 256 + qchi).reshape(-1).astype(jnp.int32)
     import os
 
+    xw = _pick_xwin(tw)
+    if xw > 0:
+        clo, chi = _chunk_col_bounds(
+            bins, tile_counts, k_chunk, w, tw, ntx, gated
+        )
+        xwin = _pack_xwin(clo, chi)
+    else:
+        # placeholder (prefetch operand must exist; unused when xw == 0)
+        xwin = jnp.zeros((1,), jnp.int32)
     kernel = functools.partial(
         _fwd_kernel_v2, th=th, tw=tw, ntx=ntx, h=h, w=w, k_chunk=k_chunk,
         q_rows=q_rows,
         eval_bf16=os.environ.get("DD_EVAL_BF16", "0") == "1",
+        xw=xw,
     )
+    nq = th // q_rows
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(b, num_tiles),
         in_specs=[
             pl.BlockSpec(
@@ -582,6 +778,10 @@ def _fwd_from_bins(bins, tile_counts, resolution, tile_hw, interpret,
                 memory_space=pltpu.VMEM,
             ),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((q_rows * tw, nq), jnp.float32),
+            pltpu.VMEM((q_rows * tw, nq), jnp.float32),
+        ],
     )
     ids_cm, rows = pl.pallas_call(
         kernel,
@@ -593,7 +793,7 @@ def _fwd_from_bins(bins, tile_counts, resolution, tile_hw, interpret,
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_counts, bounds, qwin, bins)
+    )(tile_counts, bounds, qwin, xwin, bins)
     return ids_cm, rows, bounds
 
 
