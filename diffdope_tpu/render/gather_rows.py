@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from diffdope_tpu.render.shade import PACKED_WIDTH
+from diffdope_tpu.render.raster_v2 import _gather_precision
 
 Array = jax.Array
 
@@ -177,7 +178,8 @@ def _fwd_kernel(counts_ref, rows_ref, ids_ref, out_ref, *, th, tw, ntx, h, w, k_
             slot = jax.lax.broadcasted_iota(jnp.int32, (k_chunk, 1), 0) + base
             onehot = ((tri_ids == ids_row) & (slot < count)).astype(jnp.float32)
             return acc + jax.lax.dot_general(
-                chunk, onehot, dn, preferred_element_type=jnp.float32
+                chunk, onehot, dn, preferred_element_type=jnp.float32,
+                precision=_gather_precision(),
             )  # (32, tw)
 
         acc = jax.lax.fori_loop(
@@ -219,7 +221,8 @@ def _bwd_kernel(counts_ref, ids_ref, tidx_ref, drows_ref, out_ref, *, th, tw, k_
             onehot = ((tri_ids == ids_row) & slot_ok).astype(jnp.float32)  # (kc, tw)
             d_row = drows_ref[0, :, r, :]  # (32, tw)
             return acc + jax.lax.dot_general(
-                onehot, d_row, dn, preferred_element_type=jnp.float32
+                onehot, d_row, dn, preferred_element_type=jnp.float32,
+                precision=_gather_precision(),
             )  # (kc, 32)
 
         acc = jax.lax.fori_loop(

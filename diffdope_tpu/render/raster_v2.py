@@ -66,6 +66,23 @@ def _pick_chunk(k: int) -> int:
     return min(k, 128)
 
 
+def _gather_precision():
+    """MXU precision for the phase-C one-hot row gather (fwd) and the d_bin
+    scatter reduction (bwd).
+
+    HIGHEST (default) is bit-exact: the bf16 splits of each f32 operand
+    multiply an exact 0/1 indicator, so the f32 accumulation reconstructs
+    the value exactly.  Single-pass bf16 (DD_GATHER_PRECISION=default)
+    rounds the gathered rows — measured max abs err 32 on the tri-index
+    lane on v5e (tools/onchip_check.py guards this); kept only as a
+    measured perf knob.  Mosaic rejects Precision.HIGH (3-pass), which
+    would already be exact for one-hot."""
+    import os
+
+    name = os.environ.get("DD_GATHER_PRECISION", "highest").upper()
+    return getattr(jax.lax.Precision, name)
+
+
 def _pick_qrows(th: int) -> int:
     """Rows evaluated per loop iteration (must divide the tile height).
 
@@ -238,7 +255,12 @@ def _fwd_kernel_v2(
                     e1 = xqe * a1t + ey1
                     e2 = xqe * a2t + ey2
                     zlin = xq * azt + eyz
-                    covered = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0
+                    emin = jnp.minimum(jnp.minimum(e0, e1), e2)
+                    if eval_bf16:
+                        # Mosaic can't lower a bf16 compare; min in bf16
+                        # (the fast part), compare in f32
+                        emin = emin.astype(jnp.float32)
+                    covered = emin >= 0
                     z = zlin * invt
                     ok = covered & (z >= -1.0) & (z <= 1.0) & okt
                     zm = jnp.where(ok, z, _INF)
@@ -338,7 +360,12 @@ def _fwd_kernel_v2(
             e1 = xqe * a1 + (yqe * b1 + c1)
             e2 = xqe * a2 + (yqe * b2 + c2)
             zlin = xq * az + (yq * bz + cz)
-            covered = jnp.minimum(jnp.minimum(e0, e1), e2) >= 0
+            emin = jnp.minimum(jnp.minimum(e0, e1), e2)
+            if eval_bf16:
+                # Mosaic can't lower a bf16 compare; min in bf16 (the fast
+                # part), compare in f32
+                emin = emin.astype(jnp.float32)
+            covered = emin >= 0
             z = zlin * inv_det
             ok = covered & (z >= -1.0) & (z <= 1.0) & slot_ok
             zm = jnp.where(ok, z, _INF)  # (q*tw, kc)
@@ -398,9 +425,11 @@ def _fwd_kernel_v2(
             slot = jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1) + base
             slot_ok = slot < count
             indicator = ((ids_f == ib4) & slot_ok).astype(jnp.float32)
+            # exact one-hot gather by default — see _gather_precision
             return acc + jax.lax.dot_general(
                 c32, indicator, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_gather_precision(),
             )  # (32, q*tw)
 
         qv = qwin_ref[(bi * pl.num_programs(1) + t) * nq + qi]
@@ -470,9 +499,13 @@ def _bwd_kernel_v2(
             d4 = jnp.concatenate(
                 [drows_ref[0, :, r0 + j, :] for j in range(q)], axis=1
             )  # (32, q*tw)
+            # each d_bin column sums the (few) pixels the triangle won;
+            # single-pass bf16 would round every d_rows contribution to
+            # 8 mantissa bits — exact by default, see _gather_precision
             return acc + jax.lax.dot_general(
                 d4, indicator, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_gather_precision(),
             )  # (32, kc)
 
         v = bounds_ref[(bi * pl.num_programs(1) + t) * n_chunks + ci]

@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from diffdope_tpu.render.shade import PACKED_WIDTH
 from diffdope_tpu.render.planar import XLO_LANE, XHI_LANE, YLO_LANE, YHI_LANE
 from diffdope_tpu.render.raster_v2 import (
+    _gather_precision,
     _pick_chunk,
     _pick_qrows,
     _untangle_ids,
@@ -279,6 +280,7 @@ def _fwd_kernel_v3(
             contrib = jax.lax.dot_general(
                 c32, indicator, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_gather_precision(),
             )  # (32, q*tw)
             for j in range(q):
                 rows_ref[0, :, r0 + j, :] = (
@@ -343,6 +345,7 @@ def _bwd_kernel_v3(
             return acc + jax.lax.dot_general(
                 d4, indicator, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=_gather_precision(),
             )
 
         r_lo = jnp.clip(rlo_ref[t, ci] - y0, 0, th)

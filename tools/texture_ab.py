@@ -94,12 +94,14 @@ def main():
 
         gt = jax.block_until_ready(make_gt(jnp.asarray(q_gt), jnp.asarray(t_gt)))
 
-        fused_fn = None
-        if name == "baked":
-            fused_fn = make_fused_loss(
-                proj, pos, tri, RES, gt, lrs, weights,
-                use_rgb=True, use_depth=False, use_mask=True,
-                edge_adj=edge_adj, max_tris_per_tile=2048, **kw)
+        # both modes run fused: baked keeps the fully-fused kernel, exact
+        # routes through the SEMI-FUSED bilinear path (make_fused_loss with
+        # tex/uv/uv_idx) — the round-3 replacement for the old 4x unfused
+        # fallback
+        fused_fn = make_fused_loss(
+            proj, pos, tri, RES, gt, lrs, weights,
+            use_rgb=True, use_depth=False, use_mask=True,
+            edge_adj=edge_adj, max_tris_per_tile=2048, **kw)
 
         jit_refine = jax.jit(functools.partial(
             refine, render_fn=render_fn, loss_fns=tuple(loss_fns),
