@@ -83,6 +83,7 @@ def sweep_perturbation_levels(
     optimizer: str = "adam",
     base_lr: float = 0.02,
     lr_bounds=(0.5, 4.0),
+    loss_weights=(0.7, 0.0, 1.0),
 ) -> Dict[str, dict]:
     """Sweep the bundled perturbation JSONs and aggregate ADD(-S)/AUC.
 
@@ -137,7 +138,7 @@ def sweep_perturbation_levels(
                     per_object.extend(_sweep_synth_objects(
                         objs, level, scene_id, frame, mesh_path, obj_scale,
                         resolution, batchsize, nb_iterations, seed, log_fn,
-                        optimizer, base_lr, lr_bounds,
+                        optimizer, base_lr, lr_bounds, loss_weights,
                     ))
         adds = np.asarray([o["add"] for o in per_object], float)
         dias = np.asarray([o["diameter"] for o in per_object], float)
@@ -186,15 +187,19 @@ def _sweep_real_frame(cfg, bop_root, models_dir, dataset, scene_id, frame,
 
 def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
                    obj_scale, seed, optimizer="adam", base_lr=0.02,
-                   lr_bounds=(0.5, 4.0)):
+                   lr_bounds=(0.5, 4.0), loss_weights=(0.7, 0.0, 1.0)):
     """Jitted sweep machinery, built once per configuration.
+
+    loss_weights = (rgb, depth, mask); 0 disables a term (the reference's
+    default protocol is mask-only — configs/diffdope.yaml losses block).
 
     Every device function takes the scene-varying values (poses, gt images)
     as TRACED arguments, so one compilation serves the whole sweep — under
     the axon backend each retrace costs ~30s of remote compiles.
     """
     key = (str(mesh_path), tuple(resolution), batchsize, nb_iterations,
-           obj_scale, seed, optimizer, base_lr, tuple(lr_bounds))
+           obj_scale, seed, optimizer, base_lr, tuple(lr_bounds),
+           tuple(loss_weights))
     if key in _synth_ctx_cache:
         return _synth_ctx_cache[key]
 
@@ -233,9 +238,11 @@ def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
             raster_impl="pallas", layout=layout, **color_kw,
         )
 
+    w_rgb, w_depth, w_mask = loss_weights
     loss_fns, weights = select_losses(
-        {"l1_mask": True, "weight_mask": 1.0,
-         "l1_rgb_with_mask": True, "weight_rgb": 0.7})
+        {"l1_mask": w_mask > 0, "weight_mask": w_mask,
+         "l1_rgb_with_mask": w_rgb > 0, "weight_rgb": w_rgb,
+         "l1_depth_with_mask": w_depth > 0, "weight_depth": w_depth})
     # NB under adam the per-hypothesis loss scales are a no-op (adam is
     # invariant to gradient scale); the reference's basin-hopping diversity
     # needs sgd + wide bounds (its defaults: sgd, base_lr=20, [0.01, 100])
@@ -243,7 +250,7 @@ def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
     # gt deferred (None): fn(mtx, gt) — one trace serves every object
     fused = make_fused_loss(
         proj, pos, tri, resolution, None, lrs, weights,
-        use_rgb=True, use_depth=False, use_mask=True,
+        use_rgb=w_rgb > 0, use_depth=w_depth > 0, use_mask=w_mask > 0,
         edge_adj=edge_adj, **color_kw,
     )
 
@@ -286,14 +293,15 @@ def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
 def _sweep_synth_objects(objs, level, scene_id, frame, mesh_path, obj_scale,
                          resolution, batchsize, nb_iterations, seed, log_fn,
                          optimizer="adam", base_lr=0.02,
-                         lr_bounds=(0.5, 4.0)):
+                         lr_bounds=(0.5, 4.0), loss_weights=(0.7, 0.0, 1.0)):
     """Synthesized branch: JSON pose = gt, init = gt + level perturbation."""
     import zlib
 
     import jax.numpy as jnp
 
     ctx = _synth_context(mesh_path, resolution, batchsize, nb_iterations,
-                         obj_scale, seed, optimizer, base_lr, lr_bounds)
+                         obj_scale, seed, optimizer, base_lr, lr_bounds,
+                         loss_weights)
     geo = ctx["geo"]
     deg, trans_mm = parse_level(level)
     rng = np.random.default_rng(

@@ -54,6 +54,10 @@ def main():
     ap.add_argument("--lr-bounds", default="0.5,4.0",
                     help="per-hypothesis loss-scale bounds (sgd only: adam "
                          "is invariant to gradient scale)")
+    ap.add_argument("--loss-weights", default="0.7,0,1",
+                    help="rgb,depth,mask term weights; 0 disables a term "
+                         "(the reference default protocol is mask-only: "
+                         "0,0,1 — configs/diffdope.yaml losses block)")
     ap.add_argument("--shard", default="0/1", help="i/n per-host scene shard")
     ap.add_argument("--out", default=None, help="write full results JSON here")
     args = ap.parse_args()
@@ -85,6 +89,7 @@ def main():
         optimizer=args.optimizer,
         base_lr=args.base_lr,
         lr_bounds=tuple(float(v) for v in args.lr_bounds.split(",")),
+        loss_weights=tuple(float(v) for v in args.loss_weights.split(",")),
     )
 
     print()
