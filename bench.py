@@ -83,12 +83,13 @@ def build_problem():
     # is wrong for it (validated); only enable for known-consistent meshes
     cull = os.environ.get("DD_CULL", "0") == "1"
 
-    def render_fn(mtx, layout="channels", bins=None, max_occ=16):
+    def render_fn(mtx, layout="channels", bins=None, max_occ=16,
+                  compact_total=None):
         return render_batch(
             proj, mtx, pos, tri, RES, edge_adj=edge_adj,
             raster_impl="pallas", tile_hw=(tile_h, 128), max_tris_per_tile=max_k,
             layout=layout, cull_backfaces=cull, bins=bins, max_occ=max_occ,
-            **kw,
+            compact_total=compact_total, **kw,
         )
 
     import jax
@@ -156,6 +157,36 @@ def build_problem():
     max_occ = int(os.environ.get("DD_MAX_OCC", str(max(4, occ + 2))))
     log(f"bin occupancy: max {occ} -> inverted-map M={max_occ}")
 
+    # compact bin table (planar.compact_bins): size the static capacity
+    # from the probe pose's per-tile chunk counts plus slack; the uniform-K
+    # table pads every tile to the worst occupancy (~6.5x at bench scale)
+    compact_total = None
+    if os.environ.get("DD_COMPACT", "1") == "1":
+        from diffdope_tpu.render.raster_v2 import _pick_chunk
+
+        kc_c = _pick_chunk(max_k)
+
+        @jax.jit
+        def _tot(q, t):
+            mtx_gt, _, _ = pose_matrix(pose_params(q, t, 1))
+            mvp = jnp.einsum("ij,bjk->bik", proj, mtx_gt, precision="highest")
+            pc = pos[tri.reshape(-1)][None]
+            cp = corner_planes(pc, mvp)
+            _, det = packed_planar(cp, None, None, None)
+            _, counts, _ = bin_triangles_planar(
+                cp, det, RES, (tile_h, 128), max_k, cull_backfaces=cull
+            )
+            return jnp.sum(-(-counts // kc_c) * kc_c)
+
+        tot0 = int(_tot(jnp.asarray(q_gt, jnp.float32), jnp.asarray(t_gt, jnp.float32)))
+        compact_total = int(os.environ.get(
+            "DD_COMPACT_TOT",
+            str(-(-int(tot0 * 1.35 + kc_c) // kc_c) * kc_c),
+        ))
+        nt_all = -(-RES[0] // tile_h) * -(-RES[1] // 128)
+        log(f"compact table: {tot0} probe slots -> capacity {compact_total} "
+            f"(uniform K would be {nt_all * max_k})")
+
     # DD_BINS=pre: one conservative binning (margin DD_BIN_MARGIN px) for
     # the whole refinement — per-step binning/top_k disappear from the
     # step, and with the bin-ordered packing the static-table gather
@@ -169,7 +200,7 @@ def build_problem():
             lambda q, t: pose_matrix(pose_params(q, t, 1))
         )(jnp.asarray(q_gt, jnp.float32), jnp.asarray(t_gt, jnp.float32))
         k_pre = max_k
-        for _ in range(3):
+        for attempt in range(4):
             try:
                 bins = precompute_bins(
                     proj, mtx0, pos, tri, RES, (tile_h, 128), k_pre, margin,
@@ -178,6 +209,8 @@ def build_problem():
                 break
             except ValueError as e:  # margin overflowed K: widen and retry
                 log(str(e))
+                if attempt == 3:
+                    raise
                 k_pre = -(-(k_pre * 3 // 2) // 128) * 128
         log(f"bins: precomputed (margin {margin}px, K={k_pre}, "
             f"max count {int(np.asarray(bins[1]).max())}, "
@@ -186,14 +219,15 @@ def build_problem():
     base_render = render_fn
 
     def render_fn(mtx, layout="channels"):
-        return base_render(mtx, layout=layout, max_occ=max_occ, bins=bins)
+        return base_render(mtx, layout=layout, max_occ=max_occ, bins=bins,
+                           compact_total=compact_total)
 
     fused_ctx = dict(
         proj=proj, pos=pos, tri=tri, edge_adj=edge_adj,
         tile_hw=(tile_h, 128), max_k=max_k, cull=cull, max_occ=max_occ,
         corner_colors=kw.get("corner_colors"), vtx_color=kw.get("vtx_color"),
         tex=kw.get("tex"), uv=kw.get("uv"), uv_idx=kw.get("uv_idx"),
-        bins=bins,
+        bins=bins, compact_total=compact_total,
     )
     return render_fn, gt, params0, fused_ctx
 
@@ -249,6 +283,7 @@ def main():
             max_tris_per_tile=fused_ctx["max_k"],
             cull_backfaces=fused_ctx["cull"], max_occ=fused_ctx["max_occ"],
             bins=fused_ctx["bins"],
+            compact_total=fused_ctx["compact_total"],
         )
         log(
             "loss path: fused kernel"

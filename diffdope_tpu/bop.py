@@ -247,11 +247,48 @@ def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
     # invariant to gradient scale); the reference's basin-hopping diversity
     # needs sgd + wide bounds (its defaults: sgd, base_lr=20, [0.01, 100])
     lrs = draw_learning_rates(jax.random.PRNGKey(seed), batchsize, lr_bounds)
+
+    # compact bin table capacity from a probe at the protocol's fixed gt
+    # translation (the sweep re-bins every step; see planar.compact_bins)
+    from diffdope_tpu.render.planar import (
+        bin_triangles_planar, corner_planes, packed_planar,
+    )
+    from diffdope_tpu.render.raster_v2 import _pick_chunk
+
+    t_count = int(tri.shape[0])
+    # chunk size must match what the pipeline derives from the capacity
+    # (_pick_chunk caps at DD_KCHUNK, so any kc-multiple capacity maps back
+    # to the same kc)
+    kc_c = _pick_chunk(1024)
+
+    @jax.jit
+    def _tot_probe(q, t):
+        mtx, _, _ = pose_matrix(pose_params(q, t, 1))
+        mvp = jnp.einsum("ij,bjk->bik", proj, mtx, precision="highest")
+        cp = corner_planes(pos[tri.reshape(-1)][None][0], mvp)
+        _, det = packed_planar(cp, None, None, None)
+        _, counts, _ = bin_triangles_planar(
+            cp, det, resolution, (32, 128), t_count
+        )
+        return jnp.sum(-(-counts // kc_c) * kc_c)
+
+    import numpy as _np
+
+    tot0 = int(_tot_probe(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32),
+        jnp.asarray(_np.array([0.0, 0.0, -2.0], _np.float32)),
+    ))
+    compact_total = -(-int(tot0 * 1.6 + kc_c) // kc_c) * kc_c
+    if jax.default_backend() not in ("tpu", "axon"):
+        # interpret-mode pallas copies the whole resident table per tile
+        # instance; the compact layout only pays on real hardware
+        compact_total = None
+
     # gt deferred (None): fn(mtx, gt) — one trace serves every object
     fused = make_fused_loss(
         proj, pos, tri, resolution, None, lrs, weights,
         use_rgb=w_rgb > 0, use_depth=w_depth > 0, use_mask=w_mask > 0,
-        edge_adj=edge_adj, **color_kw,
+        edge_adj=edge_adj, compact_total=compact_total, **color_kw,
     )
 
     @jax.jit

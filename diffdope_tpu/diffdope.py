@@ -251,6 +251,55 @@ class DiffDope:
         log.info("auto max_tris_per_tile: measured %d -> K=%d", max_count, k)
         return k
 
+    def _resolve_compact_total(self, arrays, proj, resolution, max_tris):
+        """Static capacity for the compact bin table (planar.compact_bins).
+
+        Probes the initial pose's per-tile chunk-padded occupancy sum and
+        adds 35% slack for pose drift (the uniform-K table pads every tile
+        to the WORST tile's occupancy — measured ~6.5x waste at bench
+        scale).  tpu.compact_bins=false disables; tpu.compact_total
+        overrides the probe."""
+        tpu_cfg = self.cfg.get("tpu", ConfigNode())
+        if not bool(tpu_cfg.get("compact_bins", True)):
+            return None
+        override = tpu_cfg.get("compact_total", None)
+        if override:
+            return int(override)
+        if self.raster_impl == "reference":
+            return None
+        # interpret-mode pallas (CPU) copies the whole resident table per
+        # tile instance — the compact layout only pays on real hardware
+        if jax.default_backend() not in ("tpu", "axon"):
+            return None
+        from diffdope_tpu.optimize import pose_matrix
+        from diffdope_tpu.render.planar import (
+            bin_triangles_planar,
+            corner_planes,
+            packed_planar,
+        )
+        from diffdope_tpu.render.raster_v2 import _pick_chunk
+
+        kc = _pick_chunk(max_tris)
+
+        @jax.jit
+        def measure(mtx):
+            mvp = jnp.einsum(
+                "...ij,...jk->...ik", proj[None], mtx, precision="highest"
+            )
+            pos_c = arrays["pos"][arrays["pos_idx"].reshape(-1)][None]
+            cp = corner_planes(pos_c[0], mvp)
+            _, det = packed_planar(cp, None, None, None)
+            _, counts, _ = bin_triangles_planar(
+                cp, det, resolution, self.tile_hw, max_tris
+            )
+            return jnp.sum(-(-counts // kc) * kc)
+
+        mtx0, _, _ = jax.jit(pose_matrix)(self.object3d.initial_params(1))
+        tot0 = int(measure(mtx0))
+        total = -(-int(tot0 * 1.35 + kc) // kc) * kc
+        log.info("compact bin table: probe %d slots -> capacity %d", tot0, total)
+        return total
+
     def _precompute_bins(self, arrays, proj, resolution, max_tris):
         """Bins at the initial poses, widened by tpu.bin_margin_px — shared
         by the unfused (render_fn) and fused loss paths when
@@ -280,6 +329,10 @@ class DiffDope:
             impl = "reference" if arrays["pos_idx"].shape[0] <= 256 else "pallas"
         if with_bins and impl == "pallas":
             bins = self._precompute_bins(arrays, proj, resolution, max_tris)
+        compact_total = (
+            self._resolve_compact_total(arrays, proj, resolution, max_tris)
+            if impl == "pallas" else None
+        )
 
         def render_fn(mtx, tex=None, vtx_color=None, corner_colors=None):
             kw = dict(arrays)
@@ -298,6 +351,7 @@ class DiffDope:
                 max_tris_per_tile=max_tris,
                 layout=layout,
                 bins=bins,
+                compact_total=compact_total,
                 **kw,
             )
 
@@ -363,6 +417,9 @@ class DiffDope:
             tex=arrays.get("tex"), uv=arrays.get("uv"),
             uv_idx=arrays.get("uv_idx"),
             tile_hw=self.tile_hw, max_tris_per_tile=max_tris, bins=bins,
+            compact_total=self._resolve_compact_total(
+                arrays, proj, resolution, max_tris
+            ),
         )
 
     # ------------------------------------------------------------------ #

@@ -71,6 +71,7 @@ def render_batch(
     bins: Optional[Tuple[Array, Array, Array, Array]] = None,
     cull_backfaces: bool = False,
     max_occ: int = 16,
+    compact_total: Optional[int] = None,
 ) -> Dict[str, Array]:
     """Render a mesh under B pose hypotheses.
 
@@ -167,6 +168,7 @@ def render_batch(
         from diffdope_tpu.render.planar import (
             _silhouette_planar,
             bin_triangles_planar,
+            compact_bins,
             corner_planes,
             det_planar,
             pack_binned,
@@ -206,13 +208,40 @@ def render_batch(
                     cull_backfaces=cull_backfaces,
                 )
             sil = _silhouette_planar(det, edge_adj)
-            packed_b = pack_binned(
-                pos_c, mvp, mtx, idx, attr_corner_vals, sil, degenerate,
-                t_count,
-            )
-            ids, rows = raster_gather_rows_binned(
-                packed_b, counts, tuple(resolution), tuple(tile_hw), interpret
-            )
+            if compact_total:
+                # chunk-aligned compact table (planar.compact_bins): every
+                # table-width-scaled cost shrinks by the K-padding factor
+                # (~6x at bench scale)
+                from diffdope_tpu.render.raster_v2 import (
+                    _pick_chunk,
+                    raster_gather_rows_compact,
+                )
+
+                kc = _pick_chunk(compact_total)
+                flat, off_c, usedc, c_ovf = compact_bins(
+                    idx, counts, t_count, kc, compact_total
+                )
+                if bin_overflow is None:
+                    bin_overflow = c_ovf
+                else:
+                    bin_overflow = bin_overflow + c_ovf
+                packed_b = pack_binned(
+                    pos_c, mvp, mtx, flat, attr_corner_vals, sil,
+                    degenerate, t_count,
+                )
+                ids, rows = raster_gather_rows_compact(
+                    packed_b, counts, off_c, usedc, tuple(resolution),
+                    tuple(tile_hw), idx.shape[1] // kc, interpret,
+                )
+            else:
+                packed_b = pack_binned(
+                    pos_c, mvp, mtx, idx, attr_corner_vals, sil, degenerate,
+                    t_count,
+                )
+                ids, rows = raster_gather_rows_binned(
+                    packed_b, counts, tuple(resolution), tuple(tile_hw),
+                    interpret,
+                )
         else:
             zrot = jnp.einsum(
                 "...j,...nj->...n", mtx[..., 2, :3], pos_c, precision="highest"
@@ -348,6 +377,7 @@ def make_fused_loss(
     bins: Optional[Tuple[Array, Array, Array, Array]] = None,
     cull_backfaces: bool = False,
     max_occ: int = 16,
+    compact_total: Optional[int] = None,
 ):
     """Build ``fn(mtx) -> (total_loss, logs)`` on the fused loss kernel.
 
@@ -374,6 +404,7 @@ def make_fused_loss(
     from diffdope_tpu.render.planar import (
         _silhouette_planar,
         bin_triangles_planar,
+        compact_bins,
         corner_planes,
         det_planar,
         pack_binned,
@@ -467,14 +498,39 @@ def make_fused_loss(
                     cull_backfaces=cull_backfaces,
                 )
             sil = _silhouette_planar(det, edge_adj)
-            packed_b = pack_binned(
-                pos_c, mvp, mtx, idx, attr_corner_vals, sil, degenerate,
-                t_count,
-            )
-            ids, rows = raster_gather_rows_binned(
-                packed_b, counts, tuple(resolution), tuple(tile_hw),
-                interpret, True, True,
-            )
+            if compact_total:
+                # chunk-aligned compact table (planar.compact_bins) — see
+                # render_batch
+                from diffdope_tpu.render.raster_v2 import (
+                    _pick_chunk,
+                    raster_gather_rows_compact,
+                )
+
+                kc = _pick_chunk(compact_total)
+                flat, off_c, usedc, c_ovf = compact_bins(
+                    idx, counts, t_count, kc, compact_total
+                )
+                if bin_overflow is None:
+                    bin_overflow = c_ovf
+                else:
+                    bin_overflow = bin_overflow + c_ovf
+                packed_b = pack_binned(
+                    pos_c, mvp, mtx, flat, attr_corner_vals, sil,
+                    degenerate, t_count,
+                )
+                ids, rows = raster_gather_rows_compact(
+                    packed_b, counts, off_c, usedc, tuple(resolution),
+                    tuple(tile_hw), idx.shape[1] // kc, interpret, True,
+                )
+            else:
+                packed_b = pack_binned(
+                    pos_c, mvp, mtx, idx, attr_corner_vals, sil, degenerate,
+                    t_count,
+                )
+                ids, rows = raster_gather_rows_binned(
+                    packed_b, counts, tuple(resolution), tuple(tile_hw),
+                    interpret, True, True,
+                )
         else:
             zrot = jnp.einsum(
                 "...j,...nj->...n", mtx[..., 2, :3], pos_c, precision="highest"

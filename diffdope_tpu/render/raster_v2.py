@@ -102,7 +102,37 @@ def _pick_qrows(th: int) -> int:
 def _fwd_kernel_v2(
     counts_ref, bounds_ref, qwin_ref, xwin_ref,
     bins_ref, ids_ref, rows_ref, zb_s, ib_s,
-    *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False, xw=0,
+    *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False, xw=0, cu=1,
+    split_eval=False,
+):
+    return _fwd_kernel_body(
+        counts_ref, bounds_ref, qwin_ref, xwin_ref, bins_ref, ids_ref,
+        rows_ref, zb_s, ib_s, th=th, tw=tw, ntx=ntx, h=h, w=w,
+        k_chunk=k_chunk, q_rows=q_rows, eval_bf16=eval_bf16, xw=xw, cu=cu,
+        split_eval=split_eval,
+    )
+
+
+def _fwd_kernel_v2_compact(
+    counts_ref, off_ref, used_ref, bounds_ref, qwin_ref, xwin_ref,
+    bins_ref, ids_ref, rows_ref, zb_s, ib_s,
+    *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False, cu=1,
+    split_eval=False, totc=0,
+):
+    return _fwd_kernel_body(
+        counts_ref, bounds_ref, qwin_ref, xwin_ref, bins_ref, ids_ref,
+        rows_ref, zb_s, ib_s, off_ref=off_ref, used_ref=used_ref,
+        th=th, tw=tw, ntx=ntx, h=h, w=w, k_chunk=k_chunk, q_rows=q_rows,
+        eval_bf16=eval_bf16, xw=0, cu=cu, split_eval=split_eval,
+        compact=True, totc=totc,
+    )
+
+
+def _fwd_kernel_body(
+    counts_ref, bounds_ref, qwin_ref, xwin_ref,
+    bins_ref, ids_ref, rows_ref, zb_s, ib_s, off_ref=None, used_ref=None,
+    *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False, xw=0, cu=1,
+    split_eval=False, compact=False, totc=0,
 ):
     """Vectorized forward: see module docstring.
 
@@ -132,13 +162,29 @@ def _fwd_kernel_v2(
     ids_ref:    VMEM (1, 1, tw, th) int32 out — column-major per tile
                 (array (B, nty, Wp, th); untangled on the host).
     rows_ref:   VMEM (1, 32, th, tw) f32 out.
+
+    compact=True: the bins block is the ENTIRE flat chunk-aligned table
+    (1, 32, total) — resident in VMEM across the tile loop for each
+    hypothesis — plus two extra SMEM prefetch vectors off_ref/used_ref
+    (per-tile chunk offset / chunk count, planar.compact_bins).  Chunk ci
+    of tile t lives at columns [(off + ci) * k_chunk, ...); its row-bound
+    entry is bounds_ref[bi * totc + off + ci].
     """
     bi = pl.program_id(0)
     t = pl.program_id(1)
     count = counts_ref[t]
-    k_max = bins_ref.shape[2]
-    n_chunks = k_max // k_chunk
-    used = jnp.minimum((count + k_chunk - 1) // k_chunk, n_chunks)
+    if compact:
+        cb0 = off_ref[t]
+        used = used_ref[t]
+        clamp_hi = jnp.maximum(used, 1) - 1  # dynamic
+        c_lim = used
+    else:
+        cb0 = 0
+        k_max = bins_ref.shape[2]
+        n_chunks = k_max // k_chunk
+        used = jnp.minimum((count + k_chunk - 1) // k_chunk, n_chunks)
+        clamp_hi = n_chunks - 1
+        c_lim = n_chunks
     q = q_rows
 
     # pixel coordinates for a q-row window: X tiles the tile's columns q
@@ -148,6 +194,13 @@ def _fwd_kernel_v2(
     jrow_i = iq // tw  # (q*tw, 1) int: 0..q-1
     xcol_i = (iq % tw) + (t % ntx) * tw
     xq = (2.0 * xcol_i.astype(jnp.float32) + 1.0) / w - 1.0  # (q*tw, 1)
+    # single-row-group x coords for the split eval (values identical to
+    # each tw-long section of xq)
+    x1i = jax.lax.broadcasted_iota(jnp.int32, (tw, 1), 0) + (t % ntx) * tw
+    x1q = (2.0 * x1i.astype(jnp.float32) + 1.0) / w - 1.0  # (tw, 1)
+    x1e = x1q.astype(jnp.bfloat16) if eval_bf16 else x1q
+    import os as _os0
+    _skip_id = _os0.environ.get("DD_SKIP_ID") == "1"  # profiling only
     y0 = (t // ntx) * th
     nq = th // q
 
@@ -158,7 +211,10 @@ def _fwd_kernel_v2(
     colq_iota = jax.lax.broadcasted_iota(jnp.int32, (1, nq), 1)
 
     def quad_range(ci):
-        v = bounds_ref[(bi * pl.num_programs(1) + t) * n_chunks + ci]
+        if compact:
+            v = bounds_ref[bi * totc + cb0 + ci]
+        else:
+            v = bounds_ref[(bi * pl.num_programs(1) + t) * n_chunks + ci]
         r_lo = jnp.clip(v // 1024 - 1 - y0, 0, th)
         r_hi = jnp.clip(v % 1024 - 1 - y0 + 1, 0, th)
         return r_lo // q, (r_hi + q - 1) // q
@@ -305,41 +361,67 @@ def _fwd_kernel_v2(
 
     # ---- phase A: z-test; the winning id is tracked in the same pass
     # (smallest id among the chunk's zmin holders; strict < across chunks
-    # keeps ties deterministic toward the smallest id regardless of order)
-    def chunk_a(ci, carry):
-        base = pl.multiple_of(ci * k_chunk, 128)
-        c32 = bins_ref[0, :, pl.ds(base, k_chunk)]  # (32, kc)
+    # keeps ties deterministic toward the smallest id regardless of order).
+    #
+    # cu > 1 statically unrolls cu CHUNKS per loop trip: the per-trip
+    # eval -> lane-reduce chain is the measured bottleneck (serial
+    # dependencies Mosaic does not pipeline across fori trips), and cu
+    # independent chains in one body give the VLIW scheduler work to
+    # interleave.  Each sub-chunk keeps its own row bounds; the quad loop
+    # runs over their union (adjacent y-sorted chunks have near-identical
+    # ranges, so the union is tight).  The last trip may clamp past the
+    # real chunk list — re-evaluating a chunk is safe because the z/tie
+    # merge is idempotent.
+    def chunk_a(cp, carry):
+        subs = []
+        for s in range(cu):
+            ci = jnp.minimum(cp * cu + s, clamp_hi)
+            base = pl.multiple_of((cb0 + ci) * k_chunk, 128)
+            c32 = bins_ref[0, :, pl.ds(base, k_chunk)]  # (32, kc)
 
-        def lane(j):
-            return c32[j:j + 1, :]  # (1, kc)
+            def lane(j, c32=c32):
+                return c32[j:j + 1, :]  # (1, kc)
 
-        det = lane(12)
-        ids_f = lane(13)
-        sgn = jnp.sign(det)
-        # pre-scale the edge coefficients by sign(det) once per chunk
-        # ((1, kc) ops), saving three (tw, kc) multiplies per row: coverage
-        # becomes a plain e >= 0 test.  The rows gather (phase C) still
-        # reads the ORIGINAL c32, so downstream consumers see unscaled
-        # coefficients.
-        a0, b0, c0 = lane(0) * sgn, lane(1) * sgn, lane(2) * sgn
-        a1, b1, c1 = lane(3) * sgn, lane(4) * sgn, lane(5) * sgn
-        a2, b2, c2 = lane(6) * sgn, lane(7) * sgn, lane(8) * sgn
-        az, bz, cz = lane(9), lane(10), lane(11)
-        if eval_bf16:
-            # DD_EVAL_BF16=1: edge tests in bf16 (double VPU rate).  The
-            # depth plane stays f32 (winner selection quality).  Coverage
-            # can flip at pixels within ~bf16-eps of an edge — NOT exact
-            # vs the reference rasterization; measured behind the flag.
-            bf = jnp.bfloat16
-            a0, b0, c0 = a0.astype(bf), b0.astype(bf), c0.astype(bf)
-            a1, b1, c1 = a1.astype(bf), b1.astype(bf), c1.astype(bf)
-            a2, b2, c2 = a2.astype(bf), b2.astype(bf), c2.astype(bf)
-        # reciprocal once per triangle (1, kc) — a (tw, kc) divide costs
-        # ~10x a multiply on the VPU
-        inv_det = 1.0 / jnp.where(det != 0.0, det, 1.0)
-        slot = jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1) + base
-        slot_ok = (slot < count) & (det != 0)
-        q_lo, q_hi = quad_range(ci)
+            det = lane(12)
+            ids_f = lane(13)
+            sgn = jnp.sign(det)
+            # pre-scale the edge coefficients by sign(det) once per chunk
+            # ((1, kc) ops), saving three (tw, kc) multiplies per row:
+            # coverage becomes a plain e >= 0 test.  The rows gather
+            # (phase C) still reads the ORIGINAL c32, so downstream
+            # consumers see unscaled coefficients.
+            a0, b0, c0 = lane(0) * sgn, lane(1) * sgn, lane(2) * sgn
+            a1, b1, c1 = lane(3) * sgn, lane(4) * sgn, lane(5) * sgn
+            a2, b2, c2 = lane(6) * sgn, lane(7) * sgn, lane(8) * sgn
+            az, bz, cz = lane(9), lane(10), lane(11)
+            if eval_bf16:
+                # DD_EVAL_BF16=1: edge tests in bf16 (double VPU rate).
+                # The depth plane stays f32 (winner selection quality).
+                # Coverage can flip at pixels within ~bf16-eps of an edge
+                # — NOT exact vs the reference rasterization; measured
+                # behind the flag.
+                bf = jnp.bfloat16
+                a0, b0, c0 = a0.astype(bf), b0.astype(bf), c0.astype(bf)
+                a1, b1, c1 = a1.astype(bf), b1.astype(bf), c1.astype(bf)
+                a2, b2, c2 = a2.astype(bf), b2.astype(bf), c2.astype(bf)
+            # reciprocal once per triangle (1, kc) — a (tw, kc) divide
+            # costs ~10x a multiply on the VPU
+            inv_det = 1.0 / jnp.where(det != 0.0, det, 1.0)
+            # tile-RELATIVE slot index (base is global in compact mode)
+            slot = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1)
+                + ci * k_chunk
+            )
+            slot_ok = (slot < count) & (det != 0)
+            q_lo_s, q_hi_s = quad_range(ci)
+            subs.append((
+                (a0, b0, c0, a1, b1, c1, a2, b2, c2, az, bz, cz),
+                inv_det, slot_ok, ids_f, q_lo_s, q_hi_s,
+            ))
+        q_lo, q_hi = subs[0][4], subs[0][5]
+        for s in range(1, cu):
+            q_lo = jnp.minimum(q_lo, subs[s][4])
+            q_hi = jnp.maximum(q_hi, subs[s][5])
 
         def quad_body(qi, carry2):
             zb_mat, ib_mat = carry2
@@ -356,23 +438,86 @@ def _fwd_kernel_v2(
                 yqe = yq.astype(jnp.bfloat16)
             else:
                 xqe, yqe = xq, yq
-            e0 = xqe * a0 + (yqe * b0 + c0)
-            e1 = xqe * a1 + (yqe * b1 + c1)
-            e2 = xqe * a2 + (yqe * b2 + c2)
-            zlin = xq * az + (yq * bz + cz)
-            emin = jnp.minimum(jnp.minimum(e0, e1), e2)
-            if eval_bf16:
-                # Mosaic can't lower a bf16 compare; min in bf16 (the fast
-                # part), compare in f32
-                emin = emin.astype(jnp.float32)
-            covered = emin >= 0
-            z = zlin * inv_det
-            ok = covered & (z >= -1.0) & (z <= 1.0) & slot_ok
-            zm = jnp.where(ok, z, _INF)  # (q*tw, kc)
-            z_c = jnp.min(zm, axis=1, keepdims=True)  # (q*tw, 1)
-            id_c = jnp.min(
-                jnp.where(zm == z_c, ids_f, _BIG), axis=1, keepdims=True
-            )
+            # cu independent eval chains (interleaved by the scheduler)
+            zi = []
+            for s in range(cu):
+                (a0, b0, c0, a1, b1, c1, a2, b2, c2, az, bz, cz), \
+                    inv_det, slot_ok, ids_f, _, _ = subs[s]
+                if split_eval:
+                    # Per-ROW-GROUP eval: q separate (tw, kc) chains
+                    # instead of one (q*tw, kc) tensor chain.  Two wins:
+                    # (1) ~32 vregs live per op instead of ~128, keeping
+                    # the working set inside the vector register file
+                    # (the wide chain's intermediates spill to VMEM);
+                    # (2) y is a SCALAR per row group, so the y-half of
+                    # each edge eval is a (1, kc) op, not a (q*tw, kc)
+                    # outer product.  Bit-exact vs the wide path: the
+                    # per-element FMA sequence is identical.
+                    z_js, id_js = [], []
+                    for j in range(q):
+                        row = (r0 + j + y0).astype(jnp.float32)
+                        yj = (2.0 * row + 1.0) / h - 1.0
+                        if eval_bf16:
+                            yje = yj.astype(jnp.bfloat16)
+                        else:
+                            yje = yj
+                        ey0 = yje * b0 + c0  # (1, kc)
+                        ey1 = yje * b1 + c1
+                        ey2 = yje * b2 + c2
+                        eyz = yj * bz + cz
+                        e0 = x1e * a0 + ey0  # (tw, kc)
+                        e1 = x1e * a1 + ey1
+                        e2 = x1e * a2 + ey2
+                        zlin = x1q * az + eyz
+                        emin = jnp.minimum(jnp.minimum(e0, e1), e2)
+                        if eval_bf16:
+                            emin = emin.astype(jnp.float32)
+                        covered = emin >= 0
+                        z = zlin * inv_det
+                        ok = covered & (z >= -1.0) & (z <= 1.0) & slot_ok
+                        zm = jnp.where(ok, z, _INF)  # (tw, kc)
+                        z_j = jnp.min(zm, axis=1, keepdims=True)  # (tw, 1)
+                        if _skip_id:  # profiling only: no id reduction
+                            id_j = z_j
+                        else:
+                            id_j = jnp.min(
+                                jnp.where(zm == z_j, ids_f, _BIG),
+                                axis=1, keepdims=True,
+                            )
+                        z_js.append(z_j)
+                        id_js.append(id_j)
+                    z_s = jnp.concatenate(z_js, axis=0)  # (q*tw, 1)
+                    id_s = jnp.concatenate(id_js, axis=0)
+                    zi.append((z_s, id_s))
+                    continue
+                e0 = xqe * a0 + (yqe * b0 + c0)
+                e1 = xqe * a1 + (yqe * b1 + c1)
+                e2 = xqe * a2 + (yqe * b2 + c2)
+                zlin = xq * az + (yq * bz + cz)
+                emin = jnp.minimum(jnp.minimum(e0, e1), e2)
+                if eval_bf16:
+                    # Mosaic can't lower a bf16 compare; min in bf16 (the
+                    # fast part), compare in f32
+                    emin = emin.astype(jnp.float32)
+                covered = emin >= 0
+                z = zlin * inv_det
+                ok = covered & (z >= -1.0) & (z <= 1.0) & slot_ok
+                zm = jnp.where(ok, z, _INF)  # (q*tw, kc)
+                z_s = jnp.min(zm, axis=1, keepdims=True)  # (q*tw, 1)
+                id_s = jnp.min(
+                    jnp.where(zm == z_s, ids_f, _BIG), axis=1, keepdims=True
+                )
+                zi.append((z_s, id_s))
+            z_c, id_c = zi[0]
+            for s in range(1, cu):
+                z_s, id_s = zi[s]
+                better = z_s < z_c
+                same = (z_s == z_c) & (z_s < _INF)
+                z_c = jnp.where(better, z_s, z_c)
+                id_c = jnp.where(
+                    better, id_s,
+                    jnp.where(same, jnp.minimum(id_s, id_c), id_c),
+                )
             zb_col = colq_get(zb_mat, qi)
             ib_col = colq_get(ib_mat, qi)
             better = z_c < zb_col
@@ -393,12 +538,18 @@ def _fwd_kernel_v2(
 
         return jax.lax.fori_loop(q_lo, q_hi, quad_body, carry)
 
+    import os as _os
+
     if xw == 0:
-        zb_mat, ib_mat = jax.lax.fori_loop(
-            0, used, chunk_a,
-            (jnp.full((q * tw, nq), _INF, jnp.float32),
-             jnp.full((q * tw, nq), _BIG, jnp.float32)),
-        )
+        if _os.environ.get("DD_SKIP_A") == "1":  # profiling only: no z-test
+            zb_mat = jnp.full((q * tw, nq), _INF, jnp.float32)
+            ib_mat = jnp.full((q * tw, nq), _BIG, jnp.float32)
+        else:
+            zb_mat, ib_mat = jax.lax.fori_loop(
+                0, (used + cu - 1) // cu, chunk_a,
+                (jnp.full((q * tw, nq), _INF, jnp.float32),
+                 jnp.full((q * tw, nq), _BIG, jnp.float32)),
+            )
 
     # ---- phase C: one-hot row gather on the MXU.  Each triangle appears
     # at most once per bin, so matching the winning id alone (masked to
@@ -418,23 +569,37 @@ def _fwd_kernel_v2(
     def quad_c(qi, _):
         ib4 = colq_get(ib_mat, qi)  # (q*tw, 1)
 
-        def chunk_c(ci, acc):
-            base = pl.multiple_of(ci * k_chunk, 128)
-            c32 = bins_ref[0, :, pl.ds(base, k_chunk)]  # (32, kc)
-            ids_f = c32[13:14, :]
-            slot = jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1) + base
-            slot_ok = slot < count
-            indicator = ((ids_f == ib4) & slot_ok).astype(jnp.float32)
-            # exact one-hot gather by default — see _gather_precision
-            return acc + jax.lax.dot_general(
-                c32, indicator, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_gather_precision(),
-            )  # (32, q*tw)
+        def chunk_c(cp, acc):
+            # cu independent indicator+matmul chains per trip (see phase
+            # A).  A clamped trailing sub-chunk (raw ci past the chunk
+            # list) would re-accumulate a real chunk, so its slots are
+            # masked off; in-range chunks outside the quad window
+            # contribute exactly zero and need no mask.
+            for s in range(cu):
+                ci_raw = cp * cu + s
+                ci = jnp.minimum(ci_raw, clamp_hi)
+                base = pl.multiple_of((cb0 + ci) * k_chunk, 128)
+                c32 = bins_ref[0, :, pl.ds(base, k_chunk)]  # (32, kc)
+                ids_f = c32[13:14, :]
+                slot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1)
+                    + ci * k_chunk
+                )
+                slot_ok = slot < jnp.where(ci_raw < c_lim, count, 0)
+                indicator = ((ids_f == ib4) & slot_ok).astype(jnp.float32)
+                # exact one-hot gather by default — see _gather_precision
+                acc = acc + jax.lax.dot_general(
+                    c32, indicator, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_gather_precision(),
+                )  # (32, q*tw)
+            return acc
 
         qv = qwin_ref[(bi * pl.num_programs(1) + t) * nq + qi]
+        if _os.environ.get("DD_SKIP_C") == "1":  # profiling only: no gather
+            qv = 0
         acc = jax.lax.fori_loop(
-            qv // 256, qv % 256, chunk_c,
+            (qv // 256) // cu, ((qv % 256) + cu - 1) // cu, chunk_c,
             jnp.zeros((PACKED_WIDTH, q * tw), jnp.float32),
         )
         r0 = qi * q
@@ -452,6 +617,31 @@ def _bwd_kernel_v2(
     counts_ref, bounds_ref, idscm_ref, tids_ref, drows_ref, out_ref,
     *, th, tw, ntx, k_chunk, q_rows, zero_tail=False,
 ):
+    return _bwd_kernel_body(
+        counts_ref, bounds_ref, idscm_ref, tids_ref, drows_ref, out_ref,
+        th=th, tw=tw, ntx=ntx, k_chunk=k_chunk, q_rows=q_rows,
+        zero_tail=zero_tail,
+    )
+
+
+def _bwd_kernel_v2_compact(
+    counts_ref, off_ref, used_ref, grand_ref, bounds_ref,
+    idscm_ref, tids_ref, drows_ref, out_ref,
+    *, th, tw, ntx, k_chunk, q_rows, totc=0,
+):
+    return _bwd_kernel_body(
+        counts_ref, bounds_ref, idscm_ref, tids_ref, drows_ref, out_ref,
+        off_ref=off_ref, used_ref=used_ref, grand_ref=grand_ref,
+        th=th, tw=tw, ntx=ntx, k_chunk=k_chunk, q_rows=q_rows,
+        zero_tail=True, compact=True, totc=totc,
+    )
+
+
+def _bwd_kernel_body(
+    counts_ref, bounds_ref, idscm_ref, tids_ref, drows_ref, out_ref,
+    off_ref=None, used_ref=None, grand_ref=None,
+    *, th, tw, ntx, k_chunk, q_rows, zero_tail=False, compact=False, totc=0,
+):
     """d_bin(32, kc) = sum_rows d_rows(32, q*tw) @ indicator(q*tw, kc).
 
     Row gating: a pixel's winner lies in chunk ci only if the pixel row is
@@ -463,12 +653,26 @@ def _bwd_kernel_v2(
 
     tids_ref: VMEM (1, 8, K) f32 — bin triangle indices (8x sublane
     broadcast so a (1, kc) row slice is layout-legal).
+
+    compact=True (see _fwd_kernel_v2): tids and the output cover the
+    ENTIRE flat table (blocks (1, 8, total) / (1, 32, total), constant
+    over the tile loop); extra prefetch off_ref/used_ref give per-tile
+    chunk offsets/counts and grand_ref[0] the first unused global chunk —
+    the global tail [grand, totc) is zeroed by the LAST tile's instance
+    (the flat cotangent flows into the packing backward, where
+    uninitialized VMEM would poison the pose gradient).
     """
     bi = pl.program_id(0)
     t = pl.program_id(1)
     count = counts_ref[t]
-    k_max = tids_ref.shape[2]
-    n_chunks = k_max // k_chunk
+    if compact:
+        cb0 = off_ref[t]
+        used = used_ref[t]
+    else:
+        cb0 = 0
+        k_max = tids_ref.shape[2]
+        n_chunks = k_max // k_chunk
+        used = jnp.minimum((count + k_chunk - 1) // k_chunk, n_chunks)
     y0 = (t // ntx) * th
     q = q_rows
 
@@ -478,7 +682,6 @@ def _bwd_kernel_v2(
     nq = th // q
     ids_mat = idscm_ref[0, 0]  # (q*tw, nq) quad-major (see _fwd_kernel_v2)
     colq_iota = jax.lax.broadcasted_iota(jnp.int32, (1, nq), 1)
-    used = jnp.minimum((count + k_chunk - 1) // k_chunk, n_chunks)
 
     def ids_colq(qi):
         return jnp.sum(
@@ -486,10 +689,13 @@ def _bwd_kernel_v2(
         )  # (q*tw, 1)
 
     def chunk_body(ci, _):
-        base = pl.multiple_of(ci * k_chunk, 128)
+        base = pl.multiple_of((cb0 + ci) * k_chunk, 128)
         ids_f = tids_ref[0, 0:1, pl.ds(base, k_chunk)]  # (1, kc)
         tri_id = ids_f.astype(jnp.int32) + 1
-        slot = jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1) + base
+        slot = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1)
+            + ci * k_chunk
+        )
         slot_ok = slot < count
 
         def quad_body(qi, acc):
@@ -508,7 +714,10 @@ def _bwd_kernel_v2(
                 precision=_gather_precision(),
             )  # (32, kc)
 
-        v = bounds_ref[(bi * pl.num_programs(1) + t) * n_chunks + ci]
+        if compact:
+            v = bounds_ref[bi * totc + cb0 + ci]
+        else:
+            v = bounds_ref[(bi * pl.num_programs(1) + t) * n_chunks + ci]
         r_lo = jnp.clip(v // 1024 - 1 - y0, 0, th)
         r_hi = jnp.clip(v % 1024 - 1 - y0 + 1, 0, th)
         acc = jax.lax.fori_loop(
@@ -520,7 +729,7 @@ def _bwd_kernel_v2(
 
     jax.lax.fori_loop(0, used, chunk_body, 0)
 
-    if zero_tail:
+    if zero_tail and not compact:
         # the binned path DIFFERENTIATES through this output (it is the
         # packed table's cotangent): unwritten tail chunks would inject
         # uninitialized VMEM (possibly NaN bit patterns) into the packing
@@ -534,6 +743,21 @@ def _bwd_kernel_v2(
             return 0
 
         jax.lax.fori_loop(used, n_chunks, tail_body, 0)
+
+    if compact:
+        # zero the global tail [grand, totc) once, from the last tile's
+        # instance (the out block is constant over the tile loop, so every
+        # instance of this hypothesis sees the same resident VMEM block)
+        @pl.when(t == pl.num_programs(1) - 1)
+        def _zero_tail():
+            def tail_body(c, _):
+                base = pl.multiple_of(c * k_chunk, 128)
+                out_ref[0, :, pl.ds(base, k_chunk)] = jnp.zeros(
+                    (PACKED_WIDTH, k_chunk), jnp.float32
+                )
+                return 0
+
+            jax.lax.fori_loop(grand_ref[0], totc, tail_body, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -787,6 +1011,8 @@ def _fwd_from_bins(bins, tile_counts, resolution, tile_hw, interpret,
         q_rows=q_rows,
         eval_bf16=os.environ.get("DD_EVAL_BF16", "0") == "1",
         xw=xw,
+        cu=max(1, int(os.environ.get("DD_CUNROLL", "1"))),
+        split_eval=os.environ.get("DD_EVAL_SPLIT", "0") == "1",
     )
     nq = th // q_rows
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1016,3 +1242,247 @@ def _vjp_bwd_binned(resolution, tile_hw, interpret, gated, padded, res,
 
 
 raster_gather_rows_binned.defvjp(_vjp_fwd_binned, _vjp_bwd_binned)
+
+
+# ---------------------------------------------------------------------------
+# compact variant: the bin-ordered table is chunk-aligned COMPACT
+# (planar.compact_bins) — per-tile regions at dynamic offsets instead of a
+# uniform K, shrinking the table ~6x at bench scale (uniform K pads every
+# tile to the worst tile's occupancy).  Everything that scales with the
+# table width shrinks with it: the pack_binned math, the kernel input DMA
+# (one resident block per hypothesis), and the backward's flat cotangent.
+# ---------------------------------------------------------------------------
+
+def _chunk_row_bounds_flat(bins_c, k_chunk, h, gated):
+    """Per-chunk conservative absolute pixel-row ranges (B, totc) for the
+    compact table.  No slot mask: compact sentinel/padding slots are
+    packed as degenerate (planar.pack_binned degen_b), so their y-bound
+    lanes already carry the empty interval."""
+    b, width, tot = bins_c.shape
+    totc = tot // k_chunk
+    if not gated:
+        return (
+            jnp.zeros((b, totc), jnp.int32),
+            jnp.full((b, totc), h, jnp.int32),
+        )
+    ylo = jnp.min(
+        bins_c[:, PACKED_WIDTH - 2, :].reshape(b, totc, k_chunk), axis=-1
+    )
+    yhi = jnp.max(
+        bins_c[:, PACKED_WIDTH - 1, :].reshape(b, totc, k_chunk), axis=-1
+    )
+    rlo = jnp.ceil((ylo + 1.0) * (h / 2.0) - 1.0).astype(jnp.int32)
+    rhi = jnp.floor((yhi + 1.0) * (h / 2.0)).astype(jnp.int32)
+    return jnp.clip(rlo, -1, h), jnp.clip(rhi, -1, h)
+
+
+def _fwd_from_bins_compact(bins_c, tile_counts, off_c, used, resolution,
+                           tile_hw, ncmax, interpret, gated=True):
+    b, width, tot = bins_c.shape
+    assert width == PACKED_WIDTH
+    h, w = resolution
+    th, tw = tile_hw
+    nty, ntx = -(-h // th), -(-w // tw)
+    num_tiles = tile_counts.shape[0]
+    k_chunk = _pick_chunk(tot)
+    totc = tot // k_chunk
+    q_rows = _pick_qrows(th)
+    nq = th // q_rows
+
+    rlo_f, rhi_f = _chunk_row_bounds_flat(bins_c, k_chunk, h, gated)
+    bounds = ((rlo_f + 1) * 1024 + (rhi_f + 1)).reshape(-1).astype(jnp.int32)
+    if h > 1022:
+        raise ValueError(
+            f"packed row bounds support images up to 1022 rows (got H={h})"
+        )
+
+    # densify per-tile chunk ranges (b, nt, ncmax) for the quad windows
+    ci = jnp.arange(ncmax, dtype=jnp.int32)
+    didx = jnp.minimum(off_c[:, None] + ci[None, :], totc - 1)  # (nt, ncmax)
+    in_tile = ci[None, :] < used[:, None]
+    rlo_d = jnp.where(in_tile[None], rlo_f[:, didx], h)
+    rhi_d = jnp.where(in_tile[None], rhi_f[:, didx], -1)
+    qclo, qchi = _quad_windows(rlo_d, rhi_d, th, ntx, q_rows, h)
+    if ncmax > 255:
+        raise ValueError(
+            f"packed quad windows support up to 255 chunks per tile "
+            f"(ncmax={ncmax})"
+        )
+    qwin = (qclo * 256 + qchi).reshape(-1).astype(jnp.int32)
+    xwin = jnp.zeros((1,), jnp.int32)  # placeholder (compact has no x path)
+
+    import os
+
+    kernel = functools.partial(
+        _fwd_kernel_v2_compact, th=th, tw=tw, ntx=ntx, h=h, w=w,
+        k_chunk=k_chunk, q_rows=q_rows,
+        eval_bf16=os.environ.get("DD_EVAL_BF16", "0") == "1",
+        cu=max(1, int(os.environ.get("DD_CUNROLL", "1"))),
+        split_eval=os.environ.get("DD_EVAL_SPLIT", "0") == "1",
+        totc=totc,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(b, num_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, PACKED_WIDTH, tot),
+                lambda bi, ti, *_: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, q_rows * tw, th // q_rows),
+                lambda bi, ti, *_: (bi, ti // ntx, ti % ntx, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, PACKED_WIDTH, th, tw),
+                lambda bi, ti, *_: (bi, 0, ti // ntx, ti % ntx),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_rows * tw, nq), jnp.float32),
+            pltpu.VMEM((q_rows * tw, nq), jnp.float32),
+        ],
+    )
+    ids_cm, rows = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (b, nty, ntx * q_rows * tw, th // q_rows), jnp.int32
+            ),
+            jax.ShapeDtypeStruct(
+                (b, PACKED_WIDTH, nty * th, ntx * tw), jnp.float32
+            ),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_counts, off_c, used, bounds, qwin, xwin, bins_c)
+    return ids_cm, rows, bounds
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def raster_gather_rows_compact(
+    bins_c: Array,
+    tile_counts: Array,
+    off_c: Array,
+    used: Array,
+    resolution: Tuple[int, int],
+    tile_hw: Tuple[int, int],
+    ncmax: int,
+    interpret: bool = False,
+    padded: bool = False,
+) -> Tuple[Array, Array]:
+    """Rasterize + row gather from a COMPACT bin-ordered packed table.
+
+    Args:
+        bins_c: (B, 32, total) chunk-aligned compact table
+            (planar.pack_binned over planar.compact_bins' flat map).
+        tile_counts: (num_tiles,) int32 real occupancies.
+        off_c / used: per-tile chunk offset / count (planar.compact_bins).
+        ncmax: static max chunks per tile (binning K // k_chunk).
+
+    Returns: same contract as raster_gather_rows_v2.
+    """
+    ids_cm, rows, _ = _fwd_from_bins_compact(
+        bins_c, tile_counts, off_c, used, resolution, tile_hw, ncmax,
+        interpret,
+    )
+    ids = _untangle_ids(
+        ids_cm, resolution, padded, q=_pick_qrows(tile_hw[0]), tw=tile_hw[1]
+    )
+    if not padded:
+        rows = rows[:, :, : resolution[0], : resolution[1]]
+    ids = jax.ad_checkpoint.checkpoint_name(ids, "raster_ids")
+    rows = jax.ad_checkpoint.checkpoint_name(rows, "raster_rows")
+    return ids, rows
+
+
+def _vjp_fwd_compact(bins_c, tile_counts, off_c, used, resolution,
+                     tile_hw, ncmax, interpret=False, padded=False):
+    ids_cm, rows, bounds = _fwd_from_bins_compact(
+        bins_c, tile_counts, off_c, used, resolution, tile_hw, ncmax,
+        interpret,
+    )
+    ids = _untangle_ids(
+        ids_cm, resolution, padded, q=_pick_qrows(tile_hw[0]), tw=tile_hw[1]
+    )
+    rows_out = rows if padded else rows[:, :, : resolution[0], : resolution[1]]
+    tot = bins_c.shape[2]
+    tids = jnp.broadcast_to(bins_c[0:1, 13:14, :], (1, 8, tot))
+    res = (tids, tile_counts, off_c, used, ids_cm, bounds)
+    return (ids, rows_out), res
+
+
+def _vjp_bwd_compact(resolution, tile_hw, ncmax, interpret, padded, res,
+                     cotangents):
+    tids, tile_counts, off_c, used, ids_cm, bounds = res
+    _, d_rows = cotangents
+    b = d_rows.shape[0]
+    tot = tids.shape[2]
+    h, w = resolution
+    th, tw = tile_hw
+    nty, ntx = -(-h // th), -(-w // tw)
+    num_tiles = tile_counts.shape[0]
+    k_chunk = _pick_chunk(tot)
+    totc = tot // k_chunk
+    q_rows = _pick_qrows(th)
+
+    if padded:
+        d_rows_p = d_rows
+    else:
+        d_rows_p = jnp.pad(
+            d_rows, ((0, 0), (0, 0), (0, nty * th - h), (0, ntx * tw - w))
+        )
+    grand = jnp.max(off_c + used).reshape(1).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _bwd_kernel_v2_compact, th=th, tw=tw, ntx=ntx, k_chunk=k_chunk,
+        q_rows=q_rows, totc=totc,
+    )
+    bwd_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(b, num_tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, q_rows * tw, th // q_rows),
+                lambda bi, ti, *_: (bi, ti // ntx, ti % ntx, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, tot), lambda bi, ti, *_: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, PACKED_WIDTH, th, tw),
+                lambda bi, ti, *_: (bi, 0, ti // ntx, ti % ntx),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, PACKED_WIDTH, tot), lambda bi, ti, *_: (bi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    d_bins = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, PACKED_WIDTH, tot), jnp.float32),
+        grid_spec=bwd_grid,
+        interpret=interpret,
+    )(tile_counts, off_c, used, grand, bounds, ids_cm, tids, d_rows_p)
+
+    def zero_i(shape):
+        return np.zeros(shape, jax.dtypes.float0)
+
+    return (
+        d_bins,
+        zero_i(tile_counts.shape),
+        zero_i(off_c.shape),
+        zero_i(used.shape),
+    )
+
+
+raster_gather_rows_compact.defvjp(_vjp_fwd_compact, _vjp_bwd_compact)
