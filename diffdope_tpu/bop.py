@@ -141,8 +141,12 @@ def sweep_perturbation_levels(
                         optimizer, base_lr, lr_bounds, loss_weights,
                     ))
         adds = np.asarray([o["add"] for o in per_object], float)
+        adds_s = np.asarray(
+            [o.get("adds", o["add"]) for o in per_object], float
+        )
         dias = np.asarray([o["diameter"] for o in per_object], float)
         norm = adds / np.maximum(dias, 1e-9)
+        norm_s = adds_s / np.maximum(dias, 1e-9)
         results[level] = {
             "n": len(per_object),
             "mode": "real" if bop_root is not None else "synthesized",
@@ -150,6 +154,15 @@ def sweep_perturbation_levels(
             "add_med": float(np.median(adds)) if len(adds) else float("nan"),
             "acc_01d": float((norm < 0.1).mean()) if len(adds) else float("nan"),
             "auc_01d": add_auc(norm, 0.1) if len(adds) else float("nan"),
+            # symmetric-aware twin (closest-point ADD-S): the honest metric
+            # for near-symmetric meshes, where a silhouette-perfect pose can
+            # have large ADD (BOP handles such objects with ADD-S/MSSD)
+            "adds_acc_01d": (
+                float((norm_s < 0.1).mean()) if len(adds_s) else float("nan")
+            ),
+            "adds_auc_01d": (
+                add_auc(norm_s, 0.1) if len(adds_s) else float("nan")
+            ),
             "per_object": per_object,
         }
         log_fn(
@@ -157,7 +170,8 @@ def sweep_perturbation_levels(
             f"ADD mean={results[level]['add_mean']:.4f} "
             f"med={results[level]['add_med']:.4f} "
             f"acc@0.1d={results[level]['acc_01d']:.3f} "
-            f"AUC@0.1d={results[level]['auc_01d']:.3f}"
+            f"AUC@0.1d={results[level]['auc_01d']:.3f} "
+            f"ADD-S acc@0.1d={results[level]['adds_acc_01d']:.3f}"
         )
     return results
 

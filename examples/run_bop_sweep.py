@@ -94,10 +94,11 @@ def main():
 
     print()
     print(f"{'level':24s} {'n':>4s} {'ADD mean':>10s} {'ADD med':>10s} "
-          f"{'acc@0.1d':>9s} {'AUC@0.1d':>9s}  mode")
+          f"{'acc@0.1d':>9s} {'AUC@0.1d':>9s} {'S-acc@0.1d':>10s}  mode")
     for level, r in results.items():
         print(f"{level:24s} {r['n']:4d} {r['add_mean']:10.4f} "
               f"{r['add_med']:10.4f} {r['acc_01d']:9.3f} {r['auc_01d']:9.3f}"
+              f" {r.get('adds_acc_01d', float('nan')):10.3f}"
               f"  {r['mode']}")
 
     if args.out:
