@@ -422,10 +422,17 @@ def make_fused_loss(
     pos_c = pos[flat_idx][None] if pos.ndim == 2 else jnp.take(pos, flat_idx, axis=1)
 
     texture_mode = tex is not None
+    tex_packed = None
     if texture_mode:
         if uv is None or uv_idx is None:
             raise ValueError("fused texture loss requires uv and uv_idx")
         attr_corner_vals = uv[uv_idx.reshape(-1)].reshape(t_count, 3, 2)
+        if not isinstance(tex, jax.core.Tracer):
+            from diffdope_tpu.render.texture import pack_bilinear_blocks
+
+            tp = pack_bilinear_blocks(tex)
+            if tp is not None:
+                tex_packed = jnp.asarray(tp)
     elif corner_colors is not None:
         attr_corner_vals = corner_colors
     elif vtx_color is not None:
@@ -572,7 +579,10 @@ def make_fused_loss(
             # the color planes to the loss kernel (reference per-pixel
             # bilinear contract, diffdope.py:218-228)
             from diffdope_tpu.render.shade import shade_from_rows
-            from diffdope_tpu.render.texture import texture_planar
+            from diffdope_tpu.render.texture import (
+                texture_planar,
+                texture_planar_packed,
+            )
 
             hp_, wp_ = rows.shape[2], rows.shape[3]
             colp = jax.lax.broadcasted_iota(jnp.int32, (1, wp_), 1)
@@ -585,7 +595,16 @@ def make_fused_loss(
             )
             up, vp = shd["attrs_list"][0], shd["attrs_list"][1]
             fg = (ids > 0).astype(rows.dtype)
-            cplanes = texture_planar(tex, up, vp)
+            if tex_packed is not None:
+                # one gather per channel instead of four (XLA TPU gathers
+                # are ~95% of the exact-texture step; see
+                # texture.pack_bilinear_blocks) — bit-identical for the
+                # 8-bit-quantized textures every PNG produces
+                cplanes = texture_planar_packed(
+                    tex_packed, tex.shape[0], tex.shape[1], up, vp
+                )
+            else:
+                cplanes = texture_planar(tex, up, vp)
             colors = jnp.stack([c * fg for c in cplanes], axis=1)
         sums = fused_loss_sums(
             rows, ids, gt6, dplane, colors, tuple(resolution), n_attr,

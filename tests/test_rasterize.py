@@ -380,3 +380,40 @@ class TestTextureMips:
         uv = self._uv_grid(1, 2, 2)
         with pytest.raises(ValueError):
             texture(tex, uv, filter_mode="linear-mipmap-linear")
+
+
+def test_texture_planar_packed_bit_exact():
+    """pack_bilinear_blocks + texture_planar_packed == texture_planar on
+    an 8-bit-quantized texture (every PNG): identical tap values, lerp
+    equal to a few ulp (XLA fuses the unpack into the lerp with different
+    FMA groupings than the f32-gather version)."""
+    from diffdope_tpu.render.texture import (
+        pack_bilinear_blocks,
+        texture_planar,
+        texture_planar_packed,
+    )
+
+    rng = np.random.default_rng(7)
+    tex = (rng.integers(0, 256, size=(64, 48, 3)).astype(np.float32) / 255.0)
+    u = rng.uniform(-0.2, 1.2, size=(2, 33, 40)).astype(np.float32)
+    v = rng.uniform(-0.2, 1.2, size=(2, 33, 40)).astype(np.float32)
+    for mode in ("wrap",):
+        tables = pack_bilinear_blocks(tex, boundary_mode=mode)
+        assert tables is not None
+        ref = jax.jit(
+            lambda uu, vv: texture_planar(
+                jnp.asarray(tex), uu, vv, boundary_mode=mode
+            )
+        )(jnp.asarray(u), jnp.asarray(v))
+        got = jax.jit(
+            lambda uu, vv: texture_planar_packed(
+                jnp.asarray(tables), 64, 48, uu, vv, boundary_mode=mode
+            )
+        )(jnp.asarray(u), jnp.asarray(v))
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(
+                np.asarray(r), np.asarray(g), rtol=0, atol=4e-7
+            )
+    # non-quantized texture / unsupported boundary: packing must refuse
+    assert pack_bilinear_blocks(tex + 1e-3 * rng.standard_normal(tex.shape).astype(np.float32)) is None
+    assert pack_bilinear_blocks(tex, boundary_mode="clamp") is None

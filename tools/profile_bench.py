@@ -45,9 +45,13 @@ def main():
             edge_adj=fused_ctx["edge_adj"],
             corner_colors=fused_ctx["corner_colors"],
             vtx_color=fused_ctx["vtx_color"],
+            tex=fused_ctx["tex"], uv=fused_ctx["uv"],
+            uv_idx=fused_ctx["uv_idx"],
             tile_hw=fused_ctx["tile_hw"],
             max_tris_per_tile=fused_ctx["max_k"],
             cull_backfaces=fused_ctx["cull"], max_occ=fused_ctx["max_occ"],
+            bins=fused_ctx["bins"],
+            compact_total=fused_ctx["compact_total"],
         )
         print("loss path: fused kernel", file=sys.stderr)
 
