@@ -29,6 +29,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from diffdope_tpu.geometry import xfm_points
 from diffdope_tpu.render.rasterize import (
@@ -469,6 +470,37 @@ def make_fused_loss(
 
     baked = prep_gt(gt) if gt is not None else None
 
+    # Static gt-seg crop for the exact-texture gathers.  The rgb term is
+    # |rc - gt_rgb| * gt_seg * lm (reference diffdope.py:547-562), so texture
+    # samples only ever matter where the (static) gt segmentation is nonzero
+    # — sampling a crop around its support is bit-exact for loss AND
+    # gradients (d_colors carries the same seg factor) while cutting the
+    # dominant XLA per-pixel gathers by the crop fraction (measured ~95% of
+    # the exact-texture step).  Only available when gt is baked into the
+    # closure; traced-gt callers (the BOP sweep) sample the full frame.
+    import os as _os
+
+    tex_crop = (0, 0, hp, wp)
+    if (
+        texture_mode
+        and gt is not None
+        and _os.environ.get("DD_TEX_CROP", "1") == "1"
+    ):
+        seg_np = np.asarray(gt["segmentation"])
+        seg_any = seg_np.max(axis=-1) if seg_np.ndim == 3 else seg_np
+        rows_any = (seg_any > 0).any(axis=1)
+        cols_any = (seg_any > 0).any(axis=0)
+        if rows_any.any():
+            r0 = int(np.argmax(rows_any))
+            r1 = int(len(rows_any) - np.argmax(rows_any[::-1]))
+            c0 = int(np.argmax(cols_any))
+            c1 = int(len(cols_any) - np.argmax(cols_any[::-1]))
+            ct = (r0 // 8) * 8
+            cl = (c0 // 8) * 8
+            chh = min(hp - ct, -(-(r1 - ct) // 8) * 8)
+            cww = min(wp - cl, -(-(c1 - cl) // 8) * 8)
+            tex_crop = (ct, cl, chh, cww)
+
     interpret = jax.default_backend() not in ("tpu", "axon")
     npx = float(h * w)
 
@@ -595,6 +627,16 @@ def make_fused_loss(
             )
             up, vp = shd["attrs_list"][0], shd["attrs_list"][1]
             fg = (ids > 0).astype(rows.dtype)
+            ct, cl, chh, cww = tex_crop
+            cropped = (chh, cww) != (hp_, wp_)
+            if cropped:
+                # gt-seg crop (see tex_crop above): gathers only where the
+                # rgb term can be nonzero; colors outside stay zero
+                up = up[:, ct:ct + chh, cl:cl + cww]
+                vp = vp[:, ct:ct + chh, cl:cl + cww]
+                fgc = fg[:, ct:ct + chh, cl:cl + cww]
+            else:
+                fgc = fg
             if tex_packed is not None:
                 # one gather per channel instead of four (XLA TPU gathers
                 # are ~95% of the exact-texture step; see
@@ -605,7 +647,13 @@ def make_fused_loss(
                 )
             else:
                 cplanes = texture_planar(tex, up, vp)
-            colors = jnp.stack([c * fg for c in cplanes], axis=1)
+            colors = jnp.stack([c * fgc for c in cplanes], axis=1)
+            if cropped:
+                colors = jnp.pad(
+                    colors,
+                    ((0, 0), (0, 0), (ct, hp_ - ct - chh),
+                     (cl, wp_ - cl - cww)),
+                )
         sums = fused_loss_sums(
             rows, ids, gt6, dplane, colors, tuple(resolution), n_attr,
             interpret

@@ -103,13 +103,13 @@ def _fwd_kernel_v2(
     counts_ref, bounds_ref, qwin_ref, xwin_ref,
     bins_ref, ids_ref, rows_ref, zb_s, ib_s,
     *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False, xw=0, cu=1,
-    split_eval=False,
+    split_eval=False, hoist_eval=False,
 ):
     return _fwd_kernel_body(
         counts_ref, bounds_ref, qwin_ref, xwin_ref, bins_ref, ids_ref,
         rows_ref, zb_s, ib_s, th=th, tw=tw, ntx=ntx, h=h, w=w,
         k_chunk=k_chunk, q_rows=q_rows, eval_bf16=eval_bf16, xw=xw, cu=cu,
-        split_eval=split_eval,
+        split_eval=split_eval, hoist_eval=hoist_eval,
     )
 
 
@@ -117,14 +117,14 @@ def _fwd_kernel_v2_compact(
     counts_ref, off_ref, used_ref, bounds_ref, qwin_ref, xwin_ref,
     bins_ref, ids_ref, rows_ref, zb_s, ib_s,
     *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False, cu=1,
-    split_eval=False, totc=0,
+    split_eval=False, hoist_eval=False, totc=0,
 ):
     return _fwd_kernel_body(
         counts_ref, bounds_ref, qwin_ref, xwin_ref, bins_ref, ids_ref,
         rows_ref, zb_s, ib_s, off_ref=off_ref, used_ref=used_ref,
         th=th, tw=tw, ntx=ntx, h=h, w=w, k_chunk=k_chunk, q_rows=q_rows,
         eval_bf16=eval_bf16, xw=0, cu=cu, split_eval=split_eval,
-        compact=True, totc=totc,
+        hoist_eval=hoist_eval, compact=True, totc=totc,
     )
 
 
@@ -132,7 +132,7 @@ def _fwd_kernel_body(
     counts_ref, bounds_ref, qwin_ref, xwin_ref,
     bins_ref, ids_ref, rows_ref, zb_s, ib_s, off_ref=None, used_ref=None,
     *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False, xw=0, cu=1,
-    split_eval=False, compact=False, totc=0,
+    split_eval=False, hoist_eval=False, compact=False, totc=0,
 ):
     """Vectorized forward: see module docstring.
 
@@ -414,9 +414,35 @@ def _fwd_kernel_body(
             )
             slot_ok = (slot < count) & (det != 0)
             q_lo_s, q_hi_s = quad_range(ci)
+            xa = None
+            if hoist_eval:
+                # DD_EVAL_HOIST (default OFF — measured 8.40 vs 8.31 s
+                # at bench scale; phase A is issue-bound, and the saved
+                # multiply does not pay for the extra resident (tw, kc)
+                # products): the x-halves of the edge/z planes are
+                # ROW-invariant — computed once per chunk as (tw, kc)
+                # products and reused by every quad visit (avg ~3.8/chunk
+                # at bench scale), replacing a multiply per plane per row
+                # with a cheaper add against the resident product.  Invalid
+                # slots are POISONED into the lane coefficients instead of
+                # a per-row mask: c -> -inf kills coverage (e = xa + ey =
+                # -inf), cz -> +inf sends z to +inf (never wins the depth
+                # min); NaN coefficients of degenerate rows stay safe
+                # because NaN comparisons are false and `ok` is only used
+                # positively.  Values on valid slots are x*a rounded then
+                # + ey — bit-equality vs the unhoisted path holds as long
+                # as Mosaic does not FMA-contract the unhoisted mul+add
+                # (asserted by tests and tools/onchip_check.py).
+                bad = jnp.logical_not(slot_ok)
+                ninf = jnp.float32(-jnp.inf)
+                pinf = jnp.float32(jnp.inf)
+                c0 = jnp.where(bad, ninf, c0)
+                cz = jnp.where(bad, pinf, cz)
+                inv_det = jnp.where(bad, 1.0, inv_det)
+                xa = (x1q * a0, x1q * a1, x1q * a2, x1q * az)
             subs.append((
                 (a0, b0, c0, a1, b1, c1, a2, b2, c2, az, bz, cz),
-                inv_det, slot_ok, ids_f, q_lo_s, q_hi_s,
+                inv_det, slot_ok, ids_f, q_lo_s, q_hi_s, xa,
             ))
         q_lo, q_hi = subs[0][4], subs[0][5]
         for s in range(1, cu):
@@ -442,7 +468,44 @@ def _fwd_kernel_body(
             zi = []
             for s in range(cu):
                 (a0, b0, c0, a1, b1, c1, a2, b2, c2, az, bz, cz), \
-                    inv_det, slot_ok, ids_f, _, _ = subs[s]
+                    inv_det, slot_ok, ids_f, _, _, xa = subs[s]
+                if hoist_eval:
+                    # per-row-group eval against the chunk's resident x*a
+                    # products (see the hoist block in chunk_a): per plane
+                    # one (1, kc) lane FMA + one (tw, kc) broadcast add;
+                    # slot validity is pre-poisoned into the coefficients
+                    xa0, xa1, xa2, xaz = xa
+                    z_js, id_js = [], []
+                    for j in range(q):
+                        row = (r0 + j + y0).astype(jnp.float32)
+                        yj = (2.0 * row + 1.0) / h - 1.0
+                        ey0 = yj * b0 + c0  # (1, kc)
+                        ey1 = yj * b1 + c1
+                        ey2 = yj * b2 + c2
+                        eyz = yj * bz + cz
+                        e0 = xa0 + ey0  # (tw, kc)
+                        e1 = xa1 + ey1
+                        e2 = xa2 + ey2
+                        zlin = xaz + eyz
+                        emin = jnp.minimum(jnp.minimum(e0, e1), e2)
+                        z = zlin * inv_det
+                        ok = (emin >= 0) & (z >= -1.0) & (z <= 1.0)
+                        zm = jnp.where(ok, z, _INF)  # (tw, kc)
+                        z_j = jnp.min(zm, axis=1, keepdims=True)
+                        if _skip_id:  # profiling only: no id reduction
+                            id_j = z_j
+                        else:
+                            id_j = jnp.min(
+                                jnp.where(zm == z_j, ids_f, _BIG),
+                                axis=1, keepdims=True,
+                            )
+                        z_js.append(z_j)
+                        id_js.append(id_j)
+                    zi.append((
+                        jnp.concatenate(z_js, axis=0),
+                        jnp.concatenate(id_js, axis=0),
+                    ))
+                    continue
                 if split_eval:
                     # Per-ROW-GROUP eval: q separate (tw, kc) chains
                     # instead of one (q*tw, kc) tensor chain.  Two wins:
@@ -1006,13 +1069,17 @@ def _fwd_from_bins(bins, tile_counts, resolution, tile_hw, interpret,
     else:
         # placeholder (prefetch operand must exist; unused when xw == 0)
         xwin = jnp.zeros((1,), jnp.int32)
+    _bf16 = os.environ.get("DD_EVAL_BF16", "0") == "1"
     kernel = functools.partial(
         _fwd_kernel_v2, th=th, tw=tw, ntx=ntx, h=h, w=w, k_chunk=k_chunk,
         q_rows=q_rows,
-        eval_bf16=os.environ.get("DD_EVAL_BF16", "0") == "1",
+        eval_bf16=_bf16,
         xw=xw,
         cu=max(1, int(os.environ.get("DD_CUNROLL", "1"))),
         split_eval=os.environ.get("DD_EVAL_SPLIT", "0") == "1",
+        hoist_eval=(
+            os.environ.get("DD_EVAL_HOIST", "0") == "1" and not _bf16
+        ),
     )
     nq = th // q_rows
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1313,12 +1380,16 @@ def _fwd_from_bins_compact(bins_c, tile_counts, off_c, used, resolution,
 
     import os
 
+    _bf16 = os.environ.get("DD_EVAL_BF16", "0") == "1"
     kernel = functools.partial(
         _fwd_kernel_v2_compact, th=th, tw=tw, ntx=ntx, h=h, w=w,
         k_chunk=k_chunk, q_rows=q_rows,
-        eval_bf16=os.environ.get("DD_EVAL_BF16", "0") == "1",
+        eval_bf16=_bf16,
         cu=max(1, int(os.environ.get("DD_CUNROLL", "1"))),
         split_eval=os.environ.get("DD_EVAL_SPLIT", "0") == "1",
+        hoist_eval=(
+            os.environ.get("DD_EVAL_HOIST", "0") == "1" and not _bf16
+        ),
         totc=totc,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -328,3 +328,59 @@ def test_fused_texture_matches_unfused(scene):
             np.asarray(gu[k]), np.asarray(gf[k]), rtol=2e-4, atol=1e-6,
             err_msg=f"grad {k}",
         )
+
+
+def test_texture_crop_matches_full(scene, monkeypatch):
+    """gt-seg crop of the exact-texture gathers (DD_TEX_CROP) must be
+    BIT-identical to the full-frame sampling: the rgb term carries a
+    gt-seg factor (reference diffdope.py:547-562), so colors outside the
+    crop can never contribute to the loss or its gradients."""
+    v = np.asarray(scene["pos"])
+    n = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-9)
+    uv = jnp.asarray(
+        np.stack(
+            [0.5 + np.arctan2(n[:, 2], n[:, 0]) / (2 * np.pi),
+             0.5 - np.arcsin(np.clip(n[:, 1], -1, 1)) / np.pi],
+            axis=1,
+        ).astype(np.float32)
+    )
+    rng = np.random.default_rng(5)
+    tex = jnp.asarray(rng.uniform(0.1, 0.9, (32, 32, 3)).astype(np.float32))
+    loss_fns, weights = select_losses(
+        {"l1_mask": True, "weight_mask": 1.0,
+         "l1_rgb_with_mask": True, "weight_rgb": 0.7}
+    )
+    lrs = jnp.asarray([1.0, 2.0, 0.5], jnp.float32)
+
+    def build():
+        return make_fused_loss(
+            scene["proj"], scene["pos"], scene["tri"], RES, scene["gt"],
+            lrs, weights, use_rgb=True, use_mask=True,
+            edge_adj=scene["edge_adj"], tex=tex, uv=uv,
+            uv_idx=scene["tri"], max_tris_per_tile=512,
+        )
+
+    monkeypatch.setenv("DD_TEX_CROP", "1")
+    fn_crop = build()
+    monkeypatch.setenv("DD_TEX_CROP", "0")
+    fn_full = build()
+
+    def total(fn, params):
+        mtx, _, _ = pose_matrix(params)
+        t, logs = fn(mtx)
+        return t, {k: v for k, v in logs.items() if not k.startswith("_")}
+
+    p = scene["params0"]
+    (tc, lc), gc = jax.jit(
+        jax.value_and_grad(lambda q: total(fn_crop, q), has_aux=True)
+    )(p)
+    (tf, lf), gf = jax.jit(
+        jax.value_and_grad(lambda q: total(fn_full, q), has_aux=True)
+    )(p)
+    assert np.asarray(tc) == np.asarray(tf)
+    for k in lf:
+        np.testing.assert_array_equal(np.asarray(lc[k]), np.asarray(lf[k]))
+    for k in gf:
+        np.testing.assert_array_equal(
+            np.asarray(gc[k]), np.asarray(gf[k]), err_msg=f"grad {k}"
+        )

@@ -115,3 +115,18 @@ def test_v2_qrows_variants_match(packed_scene, q, monkeypatch):
     ids_q, rows_q = jax.jit(lambda p: _run_v2(p, cp, det))(packed)
     np.testing.assert_array_equal(np.asarray(ids_ref), np.asarray(ids_q))
     np.testing.assert_array_equal(np.asarray(rows_ref), np.asarray(rows_q))
+
+
+@pytest.mark.parametrize("flag", ["DD_EVAL_HOIST", "DD_EVAL_SPLIT"])
+def test_v2_eval_variants_match(packed_scene, flag, monkeypatch):
+    """DD_EVAL_HOIST / DD_EVAL_SPLIT restructure the phase-A evaluation
+    (resident x*a products / per-row-group chains); both are default-off
+    tuning flags that must be bit-identical to the baseline eval —
+    hoisting in particular relies on poisoned coefficients (-inf/+inf on
+    invalid slots) reproducing the per-row masked compare exactly."""
+    packed, cp, det = packed_scene
+    ids_ref, rows_ref = jax.jit(lambda p: _run_v2(p, cp, det))(packed)
+    monkeypatch.setenv(flag, "1")
+    ids_v, rows_v = jax.jit(lambda p: _run_v2(p, cp, det))(packed)
+    np.testing.assert_array_equal(np.asarray(ids_ref), np.asarray(ids_v))
+    np.testing.assert_array_equal(np.asarray(rows_ref), np.asarray(rows_v))
