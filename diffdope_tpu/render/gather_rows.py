@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from diffdope_tpu.render.shade import PACKED_WIDTH
-from diffdope_tpu.render.raster_v2 import _gather_precision
+from diffdope_tpu.render.raster_v2 import _one_hot_dot
 
 Array = jax.Array
 
@@ -177,10 +177,7 @@ def _fwd_kernel(counts_ref, rows_ref, ids_ref, out_ref, *, th, tw, ntx, h, w, k_
             # instead of poisoning lane 13 host-side (a 436MB update-slice)
             slot = jax.lax.broadcasted_iota(jnp.int32, (k_chunk, 1), 0) + base
             onehot = ((tri_ids == ids_row) & (slot < count)).astype(jnp.float32)
-            return acc + jax.lax.dot_general(
-                chunk, onehot, dn, preferred_element_type=jnp.float32,
-                precision=_gather_precision(),
-            )  # (32, tw)
+            return acc + _one_hot_dot(chunk, onehot, dn)  # (32, tw)
 
         acc = jax.lax.fori_loop(
             0, used, chunk_body, jnp.zeros((PACKED_WIDTH, tw), jnp.float32)
@@ -220,9 +217,8 @@ def _bwd_kernel(counts_ref, ids_ref, tidx_ref, drows_ref, out_ref, *, th, tw, k_
             ids_row = ids_ref[0, pl.ds(r, 1), :]  # (1, tw)
             onehot = ((tri_ids == ids_row) & slot_ok).astype(jnp.float32)  # (kc, tw)
             d_row = drows_ref[0, :, r, :]  # (32, tw)
-            return acc + jax.lax.dot_general(
-                onehot, d_row, dn, preferred_element_type=jnp.float32,
-                precision=_gather_precision(),
+            return acc + _one_hot_dot(
+                onehot, d_row, dn, indicator="lhs"
             )  # (kc, 32)
 
         acc = jax.lax.fori_loop(

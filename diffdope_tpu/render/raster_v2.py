@@ -67,20 +67,59 @@ def _pick_chunk(k: int) -> int:
 
 
 def _gather_precision():
-    """MXU precision for the phase-C one-hot row gather (fwd) and the d_bin
-    scatter reduction (bwd).
+    """MXU precision mode for the phase-C one-hot row gather (fwd) and the
+    d_bin scatter reduction (bwd).
 
-    HIGHEST (default) is bit-exact: the bf16 splits of each f32 operand
-    multiply an exact 0/1 indicator, so the f32 accumulation reconstructs
-    the value exactly.  Single-pass bf16 (DD_GATHER_PRECISION=default)
-    rounds the gathered rows — measured max abs err 32 on the tri-index
-    lane on v5e (tools/onchip_check.py guards this); kept only as a
-    measured perf knob.  Mosaic rejects Precision.HIGH (3-pass), which
-    would already be exact for one-hot."""
+    "split3" (default) manually splits the f32 value operand into three
+    bf16 terms (hi/mid/lo, 8 mantissa bits each — 24 total, every f32
+    reconstructs exactly) and runs THREE default-precision MXU passes
+    against the indicator.  Because the 0/1 indicator is itself exactly
+    bf16-representable, this computes the SAME nonzero products as
+    Precision.HIGHEST's six cross passes (the indicator's mid/lo splits
+    are zero) at half the MXU time — measured 4.6 ms/step for the five
+    extra passes of HIGHEST over single-pass at bench scale.
+    "highest" keeps the lax.Precision.HIGHEST path (bit-identical output;
+    perf reference).  "default" is single-pass bf16 — rounds the gathered
+    rows (measured max abs err 32 on the tri-index lane on v5e;
+    tools/onchip_check.py guards this); kept only as a measured perf
+    knob.  Mosaic rejects Precision.HIGH, hence the manual split."""
     import os
 
-    name = os.environ.get("DD_GATHER_PRECISION", "highest").upper()
-    return getattr(jax.lax.Precision, name)
+    return os.environ.get("DD_GATHER_PRECISION", "split3").lower()
+
+
+def _one_hot_dot(lhs, rhs, dims, indicator="rhs"):
+    """dot_general against a 0/1 indicator operand, bit-exactly, fast.
+
+    See _gather_precision.  The f32 VALUE operand (the non-indicator
+    side, named by `indicator`) is split into three bf16 terms with
+    disjoint magnitude ranges, so their per-output sum is exact in f32
+    regardless of addition order; with a one-hot indicator each MXU
+    accumulation gathers a single product and is trivially exact, and for
+    the bwd's many-hot indicator the pass structure (three f32-accumulated
+    partial sums added) is exactly HIGHEST's nonzero-pass structure."""
+    mode = _gather_precision()
+    if mode != "split3":
+        return jax.lax.dot_general(
+            lhs, rhs, dims,
+            preferred_element_type=jnp.float32,
+            precision=getattr(jax.lax.Precision, mode.upper()),
+        )
+    vals = rhs if indicator == "lhs" else lhs
+    hi = vals.astype(jnp.bfloat16)
+    r1 = vals - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    ind = (lhs if indicator == "lhs" else rhs).astype(jnp.bfloat16)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32
+        )
+
+    if indicator == "lhs":
+        return dot(ind, hi) + dot(ind, mid) + dot(ind, lo)
+    return dot(hi, ind) + dot(mid, ind) + dot(lo, ind)
 
 
 def _pick_qrows(th: int) -> int:
@@ -650,11 +689,9 @@ def _fwd_kernel_body(
                 )
                 slot_ok = slot < jnp.where(ci_raw < c_lim, count, 0)
                 indicator = ((ids_f == ib4) & slot_ok).astype(jnp.float32)
-                # exact one-hot gather by default — see _gather_precision
-                acc = acc + jax.lax.dot_general(
-                    c32, indicator, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=_gather_precision(),
+                # exact one-hot gather by default — see _one_hot_dot
+                acc = acc + _one_hot_dot(
+                    c32, indicator, (((1,), (1,)), ((), ()))
                 )  # (32, q*tw)
             return acc
 
@@ -770,11 +807,9 @@ def _bwd_kernel_body(
             )  # (32, q*tw)
             # each d_bin column sums the (few) pixels the triangle won;
             # single-pass bf16 would round every d_rows contribution to
-            # 8 mantissa bits — exact by default, see _gather_precision
-            return acc + jax.lax.dot_general(
-                d4, indicator, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_gather_precision(),
+            # 8 mantissa bits — exact by default, see _one_hot_dot
+            return acc + _one_hot_dot(
+                d4, indicator, (((1,), (0,)), ((), ()))
             )  # (32, kc)
 
         if compact:

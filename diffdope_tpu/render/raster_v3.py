@@ -55,7 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from diffdope_tpu.render.shade import PACKED_WIDTH
 from diffdope_tpu.render.planar import XLO_LANE, XHI_LANE, YLO_LANE, YHI_LANE
 from diffdope_tpu.render.raster_v2 import (
-    _gather_precision,
+    _one_hot_dot,
     _pick_chunk,
     _pick_qrows,
     _untangle_ids,
@@ -277,10 +277,8 @@ def _fwd_kernel_v3(
                 [col_get(ib_mat, r0 + j) for j in range(q)], axis=0
             )
             indicator = ((ids_f == ib4) & slot_ok).astype(jnp.float32)
-            contrib = jax.lax.dot_general(
-                c32, indicator, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_gather_precision(),
+            contrib = _one_hot_dot(
+                c32, indicator, (((1,), (1,)), ((), ()))
             )  # (32, q*tw)
             for j in range(q):
                 rows_ref[0, :, r0 + j, :] = (
@@ -342,10 +340,8 @@ def _bwd_kernel_v3(
             d4 = jnp.concatenate(
                 [drows_ref[0, :, r0 + j, :] for j in range(q)], axis=1
             )
-            return acc + jax.lax.dot_general(
-                d4, indicator, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=_gather_precision(),
+            return acc + _one_hot_dot(
+                d4, indicator, (((1,), (0,)), ((), ()))
             )
 
         r_lo = jnp.clip(rlo_ref[t, ci] - y0, 0, th)
