@@ -99,7 +99,7 @@ def _one_hot_dot(lhs, rhs, dims, indicator="rhs"):
     the bwd's many-hot indicator the pass structure (three f32-accumulated
     partial sums added) is exactly HIGHEST's nonzero-pass structure."""
     mode = _gather_precision()
-    if mode != "split3":
+    if mode not in ("split3", "split3seq"):
         return jax.lax.dot_general(
             lhs, rhs, dims,
             preferred_element_type=jnp.float32,
@@ -117,9 +117,31 @@ def _one_hot_dot(lhs, rhs, dims, indicator="rhs"):
             a, b, dims, preferred_element_type=jnp.float32
         )
 
+    if mode == "split3seq":  # three sequential passes (perf reference)
+        if indicator == "lhs":
+            return dot(ind, hi) + dot(ind, mid) + dot(ind, lo)
+        return dot(hi, ind) + dot(mid, ind) + dot(lo, ind)
+    # split3 (default): STACK the three bf16 terms along the values
+    # operand's free dim and run ONE pass.  The free dim here is always
+    # the 32-lane packed width — a bare M (or N) of 32 uses a quarter of
+    # the MXU's 128-wide tile, so the stacked (96, kc) operand does the
+    # same work in a third of the tile-ops (measured: the five extra
+    # passes of HIGHEST over single-pass cost 4.6 ms/step; split3seq
+    # halved that; stacking cuts the remaining pass count 3x).  The fold
+    # adds the three output slices in (hi + mid) + lo order — identical
+    # per-element float math to the sequential form.
+    (lhs_c,), (rhs_c,) = dims[0]
+    vc = lhs_c if indicator == "rhs" else rhs_c
+    vfree = 1 - vc
+    stacked = jnp.concatenate([hi, mid, lo], axis=vfree)
+    m = vals.shape[vfree]
     if indicator == "lhs":
-        return dot(ind, hi) + dot(ind, mid) + dot(ind, lo)
-    return dot(hi, ind) + dot(mid, ind) + dot(lo, ind)
+        out = dot(ind, stacked)  # stacked free dim is out dim 1 (lanes)
+        return (
+            out[:, 0:m] + out[:, m : 2 * m] + out[:, 2 * m : 3 * m]
+        )
+    out = dot(stacked, ind)  # stacked free dim is out dim 0 (sublanes)
+    return out[0:m] + out[m : 2 * m] + out[2 * m : 3 * m]
 
 
 def _pick_qrows(th: int) -> int:
@@ -142,13 +164,13 @@ def _fwd_kernel_v2(
     counts_ref, bounds_ref, qwin_ref, xwin_ref,
     bins_ref, ids_ref, rows_ref, zb_s, ib_s,
     *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False, xw=0, cu=1,
-    split_eval=False, hoist_eval=False,
+    split_eval=False, hoist_eval=False, lean_eval=False,
 ):
     return _fwd_kernel_body(
         counts_ref, bounds_ref, qwin_ref, xwin_ref, bins_ref, ids_ref,
         rows_ref, zb_s, ib_s, th=th, tw=tw, ntx=ntx, h=h, w=w,
         k_chunk=k_chunk, q_rows=q_rows, eval_bf16=eval_bf16, xw=xw, cu=cu,
-        split_eval=split_eval, hoist_eval=hoist_eval,
+        split_eval=split_eval, hoist_eval=hoist_eval, lean_eval=lean_eval,
     )
 
 
@@ -156,14 +178,14 @@ def _fwd_kernel_v2_compact(
     counts_ref, off_ref, used_ref, bounds_ref, qwin_ref, xwin_ref,
     bins_ref, ids_ref, rows_ref, zb_s, ib_s,
     *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False, cu=1,
-    split_eval=False, hoist_eval=False, totc=0,
+    split_eval=False, hoist_eval=False, lean_eval=False, totc=0,
 ):
     return _fwd_kernel_body(
         counts_ref, bounds_ref, qwin_ref, xwin_ref, bins_ref, ids_ref,
         rows_ref, zb_s, ib_s, off_ref=off_ref, used_ref=used_ref,
         th=th, tw=tw, ntx=ntx, h=h, w=w, k_chunk=k_chunk, q_rows=q_rows,
         eval_bf16=eval_bf16, xw=0, cu=cu, split_eval=split_eval,
-        hoist_eval=hoist_eval, compact=True, totc=totc,
+        hoist_eval=hoist_eval, lean_eval=lean_eval, compact=True, totc=totc,
     )
 
 
@@ -171,7 +193,8 @@ def _fwd_kernel_body(
     counts_ref, bounds_ref, qwin_ref, xwin_ref,
     bins_ref, ids_ref, rows_ref, zb_s, ib_s, off_ref=None, used_ref=None,
     *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False, xw=0, cu=1,
-    split_eval=False, hoist_eval=False, compact=False, totc=0,
+    split_eval=False, hoist_eval=False, lean_eval=False, compact=False,
+    totc=0,
 ):
     """Vectorized forward: see module docstring.
 
@@ -452,6 +475,20 @@ def _fwd_kernel_body(
                 + ci * k_chunk
             )
             slot_ok = (slot < count) & (det != 0)
+            if lean_eval and not (hoist_eval or split_eval or eval_bf16):
+                # DD_EVAL_LEAN: invalid slots are POISONED into the lane
+                # coefficients once per chunk ((1, kc) ops) instead of a
+                # per-pair `& slot_ok`: c0 -> -inf forces emin = -inf so
+                # the pixel test fails (NaN coefficients of degenerate
+                # rows already fail it — NaN compares false).  inv_det is
+                # forced to 1.0 on poisoned slots so z stays finite (an
+                # inf * 0 NaN in z would poison the |z| test of VALID
+                # lanes? no — lanes are independent; it keeps z's
+                # where-free path well-defined).  Combined with the
+                # |z| <= 1 fold below this removes 3 of ~15 per-pair ops.
+                bad = jnp.logical_not(slot_ok)
+                c0 = jnp.where(bad, jnp.float32(-jnp.inf), c0)
+                inv_det = jnp.where(bad, 1.0, inv_det)
             q_lo_s, q_hi_s = quad_range(ci)
             xa = None
             if hoist_eval:
@@ -603,7 +640,14 @@ def _fwd_kernel_body(
                     emin = emin.astype(jnp.float32)
                 covered = emin >= 0
                 z = zlin * inv_det
-                ok = covered & (z >= -1.0) & (z <= 1.0) & slot_ok
+                if lean_eval and not eval_bf16:
+                    # slot validity is poisoned into c0 (see chunk_a) and
+                    # the two z-range compares fold into one |z| test —
+                    # bit-identical: |z| <= 1 iff -1 <= z <= 1 (NaN z
+                    # fails both forms)
+                    ok = covered & (jnp.abs(z) <= 1.0)
+                else:
+                    ok = covered & (z >= -1.0) & (z <= 1.0) & slot_ok
                 zm = jnp.where(ok, z, _INF)  # (q*tw, kc)
                 z_s = jnp.min(zm, axis=1, keepdims=True)  # (q*tw, 1)
                 id_s = jnp.min(
@@ -1115,6 +1159,7 @@ def _fwd_from_bins(bins, tile_counts, resolution, tile_hw, interpret,
         hoist_eval=(
             os.environ.get("DD_EVAL_HOIST", "0") == "1" and not _bf16
         ),
+        lean_eval=os.environ.get("DD_EVAL_LEAN", "1") == "1",
     )
     nq = th // q_rows
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1425,6 +1470,7 @@ def _fwd_from_bins_compact(bins_c, tile_counts, off_c, used, resolution,
         hoist_eval=(
             os.environ.get("DD_EVAL_HOIST", "0") == "1" and not _bf16
         ),
+        lean_eval=os.environ.get("DD_EVAL_LEAN", "1") == "1",
         totc=totc,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(

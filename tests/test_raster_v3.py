@@ -117,6 +117,19 @@ def test_v2_qrows_variants_match(packed_scene, q, monkeypatch):
     np.testing.assert_array_equal(np.asarray(rows_ref), np.asarray(rows_q))
 
 
+def test_v2_lean_eval_matches(packed_scene, monkeypatch):
+    """DD_EVAL_LEAN (default on: poisoned invalid-slot coefficients + the
+    |z| <= 1 fold) must be bit-identical to the explicit per-pair
+    slot_ok/z-range tests."""
+    packed, cp, det = packed_scene
+    monkeypatch.setenv("DD_EVAL_LEAN", "0")
+    ids_ref, rows_ref = jax.jit(lambda p: _run_v2(p, cp, det))(packed)
+    monkeypatch.setenv("DD_EVAL_LEAN", "1")
+    ids_v, rows_v = jax.jit(lambda p: _run_v2(p, cp, det))(packed)
+    np.testing.assert_array_equal(np.asarray(ids_ref), np.asarray(ids_v))
+    np.testing.assert_array_equal(np.asarray(rows_ref), np.asarray(rows_v))
+
+
 @pytest.mark.parametrize("flag", ["DD_EVAL_HOIST", "DD_EVAL_SPLIT"])
 def test_v2_eval_variants_match(packed_scene, flag, monkeypatch):
     """DD_EVAL_HOIST / DD_EVAL_SPLIT restructure the phase-A evaluation
