@@ -300,8 +300,14 @@ def pack_binned(
     degen_b = flat >= t_count
     if degenerate is not None:
         degen_b = degen_b | (tab[9 + 3 * n_ch, :] > 0.5)
+    # lane 13 gets the UNCLAMPED slot value: sentinel slots keep t_count
+    # (distinct from every real id) instead of inheriting t_count-1's id
+    # from the `safe` gather clamp.  They are degenerate (det 0) and can
+    # never win a pixel, so this only matters for the id-match indicators
+    # in the compact raster kernels, which can then drop their per-pair
+    # `& slot_ok` masks entirely (~1 of 3 indicator VPU ops per visit).
     packed_b, _ = packed_planar(
-        cp_b, attr_b, zrot_b, None, degen_b, tri_indices=safe, sil=sil_b
+        cp_b, attr_b, zrot_b, None, degen_b, tri_indices=flat, sil=sil_b
     )
     return packed_b
 

@@ -727,12 +727,24 @@ def _fwd_kernel_body(
                 base = pl.multiple_of((cb0 + ci) * k_chunk, 128)
                 c32 = bins_ref[0, :, pl.ds(base, k_chunk)]  # (32, kc)
                 ids_f = c32[13:14, :]
-                slot = (
-                    jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1)
-                    + ci * k_chunk
-                )
-                slot_ok = slot < jnp.where(ci_raw < c_lim, count, 0)
-                indicator = ((ids_f == ib4) & slot_ok).astype(jnp.float32)
+                if compact and cu == 1:
+                    # compact tables carry the sentinel t_count on lane 13
+                    # of every non-real slot (pack_binned), which no
+                    # winner id can equal — and with cu == 1 no clamped
+                    # trailing chunk is ever re-visited — so the id match
+                    # alone is the exact indicator
+                    indicator = (ids_f == ib4).astype(jnp.float32)
+                else:
+                    slot = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (1, k_chunk), 1
+                        )
+                        + ci * k_chunk
+                    )
+                    slot_ok = slot < jnp.where(ci_raw < c_lim, count, 0)
+                    indicator = (
+                        (ids_f == ib4) & slot_ok
+                    ).astype(jnp.float32)
                 # exact one-hot gather by default — see _one_hot_dot
                 acc = acc + _one_hot_dot(
                     c32, indicator, (((1,), (1,)), ((), ()))
@@ -836,16 +848,22 @@ def _bwd_kernel_body(
         base = pl.multiple_of((cb0 + ci) * k_chunk, 128)
         ids_f = tids_ref[0, 0:1, pl.ds(base, k_chunk)]  # (1, kc)
         tri_id = ids_f.astype(jnp.int32) + 1
-        slot = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1)
-            + ci * k_chunk
-        )
-        slot_ok = slot < count
+        if not compact:
+            slot = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1)
+                + ci * k_chunk
+            )
+            slot_ok = slot < count
 
         def quad_body(qi, acc):
             r0 = qi * q
             ids4 = ids_colq(qi)  # (q*tw, 1)
-            indicator = ((ids4 == tri_id) & slot_ok).astype(jnp.float32)
+            if compact:
+                # sentinel ids on non-real slots (see the fwd chunk_c
+                # comment): the id match alone is exact
+                indicator = (ids4 == tri_id).astype(jnp.float32)
+            else:
+                indicator = ((ids4 == tri_id) & slot_ok).astype(jnp.float32)
             d4 = jnp.concatenate(
                 [drows_ref[0, :, r0 + j, :] for j in range(q)], axis=1
             )  # (32, q*tw)
