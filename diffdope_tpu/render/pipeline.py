@@ -429,9 +429,9 @@ def make_fused_loss(
             raise ValueError("fused texture loss requires uv and uv_idx")
         attr_corner_vals = uv[uv_idx.reshape(-1)].reshape(t_count, 3, 2)
         if not isinstance(tex, jax.core.Tracer):
-            from diffdope_tpu.render.texture import pack_bilinear_blocks
+            from diffdope_tpu.render.texture import pack_bilinear_blocks4
 
-            tp = pack_bilinear_blocks(tex)
+            tp = pack_bilinear_blocks4(tex)
             if tp is not None:
                 tex_packed = jnp.asarray(tp)
     elif corner_colors is not None:
@@ -613,41 +613,44 @@ def make_fused_loss(
             from diffdope_tpu.render.shade import shade_from_rows
             from diffdope_tpu.render.texture import (
                 texture_planar,
-                texture_planar_packed,
+                texture_planar_packed4,
             )
 
             hp_, wp_ = rows.shape[2], rows.shape[3]
-            colp = jax.lax.broadcasted_iota(jnp.int32, (1, wp_), 1)
-            rowp = jax.lax.broadcasted_iota(jnp.int32, (hp_, 1), 0)
+            ct, cl, chh, cww = tex_crop
+            cropped = (chh, cww) != (hp_, wp_)
+            # gt-seg crop (see tex_crop above): slice rows/ids BEFORE the
+            # uv shade so the interpolation, gathers, and their backward
+            # all run at crop size (full-frame shade also provoked a
+            # 1.7 GB rows relayout pair, ~11 ms/step)
+            if cropped:
+                rows_c = rows[:, :, ct:ct + chh, cl:cl + cww]
+                ids_c = ids[:, ct:ct + chh, cl:cl + cww]
+            else:
+                rows_c, ids_c = rows, ids
+            colp = jax.lax.broadcasted_iota(jnp.int32, (1, cww), 1) + cl
+            rowp = jax.lax.broadcasted_iota(jnp.int32, (chh, 1), 0) + ct
             xg = (2.0 * colp.astype(jnp.float32) + 1.0) / w - 1.0
             yg = (2.0 * rowp.astype(jnp.float32) + 1.0) / h - 1.0
             shd = shade_from_rows(
-                ids, rows, (hp_, wp_), attr_channels=2,
+                ids_c, rows_c, (chh, cww), attr_channels=2,
                 stack_outputs=False, xy=(xg, yg),
             )
             up, vp = shd["attrs_list"][0], shd["attrs_list"][1]
-            fg = (ids > 0).astype(rows.dtype)
-            ct, cl, chh, cww = tex_crop
-            cropped = (chh, cww) != (hp_, wp_)
-            if cropped:
-                # gt-seg crop (see tex_crop above): gathers only where the
-                # rgb term can be nonzero; colors outside stay zero
-                up = up[:, ct:ct + chh, cl:cl + cww]
-                vp = vp[:, ct:ct + chh, cl:cl + cww]
-                fgc = fg[:, ct:ct + chh, cl:cl + cww]
-            else:
-                fgc = fg
+            fgc = (ids_c > 0).astype(rows.dtype)
             if tex_packed is not None:
-                # one gather per channel instead of four (XLA TPU gathers
-                # are ~95% of the exact-texture step; see
-                # texture.pack_bilinear_blocks) — bit-identical for the
-                # 8-bit-quantized textures every PNG produces
-                cplanes = texture_planar_packed(
-                    tex_packed, tex.shape[0], tex.shape[1], up, vp
+                # one WIDE-ROW gather for all channels (2.2x the per-
+                # channel gathers; texture.pack_bilinear_blocks4) with a
+                # regather-free custom VJP — bit-identical sampling for
+                # the 8-bit-quantized textures every PNG produces
+                stacked = texture_planar_packed4(
+                    tex_packed, up, vp, tex.shape[0], tex.shape[1],
+                    tex.shape[2],
                 )
+                colors = jnp.moveaxis(stacked * fgc[None], 0, 1)
             else:
                 cplanes = texture_planar(tex, up, vp)
-            colors = jnp.stack([c * fgc for c in cplanes], axis=1)
+                colors = jnp.stack([c * fgc for c in cplanes], axis=1)
             if cropped:
                 colors = jnp.pad(
                     colors,

@@ -20,10 +20,12 @@ and fuses the lerps.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
@@ -329,6 +331,90 @@ def pack_bilinear_blocks(tex, boundary_mode: str = "wrap"):
         )
         tables.append(blk.reshape(-1))
     return np.stack(tables, axis=0)  # (C, th*tw) uint32
+
+
+def pack_bilinear_blocks4(tex, boundary_mode: str = "wrap"):
+    """pack_bilinear_blocks reorganized as ONE (th*tw, 4) row-major table.
+
+    TPU XLA gathers cost per ROW fetched, almost independent of row width
+    up to ~16 bytes (measured: three 1-u32 gathers 85 ms vs one 4-u32-row
+    gather 38 ms for 3.4M indices on v5e) — so fetching all channels'
+    packed 2x2 blocks as one wide row is ~2.2x faster than a gather per
+    channel.  Column c holds channel c's block; columns past C are zero.
+    Returns None whenever pack_bilinear_blocks would (non-8-bit texture,
+    non-wrap boundary) or for more than 4 channels."""
+    import numpy as np
+
+    t = pack_bilinear_blocks(tex, boundary_mode)
+    if t is None or t.shape[0] > 4:
+        return None
+    c, n = t.shape
+    out = np.zeros((n, 4), np.uint32)
+    out[:, :c] = t.T
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def texture_planar_packed4(table4, u, v, th: int, tw: int, nch: int):
+    """Bilinear sampling from a pack_bilinear_blocks4 table: ONE wide-row
+    gather for all channels, and a backward with NO regather.
+
+    Bit-identical forward to texture_planar_packed (same unpack and
+    interpolation expressions).  The custom VJP saves the two per-channel
+    sample-position derivative planes (d out / d ax, d out / d ay) from
+    the forward — elementwise functions of the unpacked corners — so the
+    backward never touches the texture table (the XLA autodiff backward
+    re-gathered every corner: measured ~24 ms/step at bench scale).
+
+    Differentiable w.r.t. u/v only (wrap boundary, like
+    texture_planar_packed).  Returns a stacked (C, *u.shape) array."""
+    out, _ = _packed4_fwd_impl(table4, u, v, th, tw, nch)
+    return out
+
+
+def _packed4_fwd_impl(table4, u, v, th, tw, nch):
+    fx = u * tw - 0.5
+    fy = v * th - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    ax = fx - x0.astype(fx.dtype)
+    ay = fy - y0.astype(fy.dtype)
+    x0w = _wrap_index(x0, tw, "wrap")
+    y0w = _wrap_index(y0, th, "wrap")
+    lin = (y0w * tw + x0w).reshape(-1)
+    blk4 = jnp.take(table4, lin, axis=0)  # (N, 4) u32
+    outs, gxs, gys = [], [], []
+    for ch in range(nch):
+        blk = blk4[:, ch].reshape(x0.shape)
+        c00 = (blk & 255).astype(jnp.float32) / 255.0
+        c10 = ((blk >> 8) & 255).astype(jnp.float32) / 255.0
+        c01 = ((blk >> 16) & 255).astype(jnp.float32) / 255.0
+        c11 = ((blk >> 24) & 255).astype(jnp.float32) / 255.0
+        top = c00 * (1.0 - ax) + c10 * ax
+        bot = c01 * (1.0 - ax) + c11 * ax
+        outs.append(top * (1.0 - ay) + bot * ay)
+        gxs.append((c10 - c00) * (1.0 - ay) + (c11 - c01) * ay)
+        gys.append(bot - top)
+    return (
+        jnp.stack(outs, axis=0),
+        (jnp.stack(gxs, axis=0), jnp.stack(gys, axis=0)),
+    )
+
+
+def _packed4_vjp_fwd(table4, u, v, th, tw, nch):
+    out, (gx, gy) = _packed4_fwd_impl(table4, u, v, th, tw, nch)
+    return out, (gx, gy, table4.shape)
+
+
+def _packed4_vjp_bwd(th, tw, nch, res, d_out):
+    gx, gy, tshape = res
+    d_u = jnp.sum(d_out * gx, axis=0) * jnp.float32(tw)
+    d_v = jnp.sum(d_out * gy, axis=0) * jnp.float32(th)
+    d_table = np.zeros(tshape, jax.dtypes.float0)
+    return (d_table, d_u, d_v)
+
+
+texture_planar_packed4.defvjp(_packed4_vjp_fwd, _packed4_vjp_bwd)
 
 
 def texture_planar_packed(
