@@ -338,6 +338,9 @@ class DiffDope:
             kw = dict(arrays)
             if tex is not None:
                 kw["tex"] = tex
+                # a traced texture must actually be sampled: render_batch
+                # prefers baked corner colors when both are present
+                kw.pop("corner_colors", None)
             if vtx_color is not None:
                 kw["vtx_color"] = vtx_color
             if corner_colors is not None:
@@ -442,7 +445,16 @@ class DiffDope:
         extra_params = None
         mesh = self.object3d.mesh
         if getattr(mesh, "optimize_appearance", False):
-            if mesh.corner_colors is not None:
+            if mesh.tex is not None and self.cfg.get(
+                "tpu", ConfigNode()
+            ).get("texture_mode", "baked") == "exact":
+                # the reference's actual appearance target: the texture
+                # map itself (Mesh.enable_gradients_texture, reference
+                # diffdope.py:909-920 + the dr.texture gradient path).
+                # Requires the exact per-pixel sampling path — the baked
+                # path differentiates corner colors instead (below).
+                extra_params = {"tex": jnp.asarray(mesh.tex)}
+            elif mesh.corner_colors is not None:
                 extra_params = {"corner_colors": jnp.asarray(mesh.corner_colors)}
             elif mesh.vtx_color is not None:
                 extra_params = {"vtx_color": jnp.asarray(mesh.vtx_color)}
@@ -510,6 +522,8 @@ class DiffDope:
         # diffdope.py:909-920), so subsequent renders/history use the
         # refined colors
         if extra_params is not None:
+            if "tex" in result.params:
+                mesh.tex = np.asarray(result.params["tex"])
             if "corner_colors" in result.params:
                 mesh.corner_colors = np.asarray(result.params["corner_colors"])
             if "vtx_color" in result.params:

@@ -268,3 +268,38 @@ def test_appearance_writeback():
     # history re-renders must use the refined colors (no stale cache)
     entry = d.optimization_results[-1]
     assert entry["rgb"].shape[0] == 2
+
+
+def test_texture_appearance_writeback():
+    """enable_gradients_texture with an actual TEXTURE MAP: under
+    tpu.texture_mode=exact the texture tensor itself is the optimized
+    appearance leaf (reference diffdope.py:909-920 + the dr.texture
+    gradient path) and is written back into the mesh."""
+    import jax.numpy as jnp
+
+    d = _make_ddope(batchsize=2, nb_iterations=3)
+    mesh = d.object3d.mesh
+    verts = mesh.pos / np.maximum(
+        np.linalg.norm(mesh.pos, axis=1, keepdims=True), 1e-9
+    )
+    uv = np.stack(
+        [0.5 + np.arctan2(verts[:, 2], verts[:, 0]) / (2 * np.pi),
+         0.5 - np.arcsin(np.clip(verts[:, 1], -1, 1)) / np.pi],
+        axis=1,
+    ).astype(np.float32)
+    mesh.uv = uv
+    mesh.uv_idx = mesh.pos_idx
+    mesh.tex = np.full((16, 16, 3), 0.4, np.float32)
+    mesh.vtx_color = None
+    mesh.enable_gradients_texture()
+    d.cfg.tpu.texture_mode = "exact"
+    d.cfg.losses.l1_rgb_with_mask = True
+    d.cfg.losses.weight_rgb = 1.0
+    from diffdope_tpu.losses import select_losses
+
+    d.loss_functions, d.loss_weights = select_losses(d.cfg.losses)
+    before = mesh.tex.copy()
+    d.run_optimization()
+    after = np.asarray(mesh.tex)
+    assert after.shape == before.shape
+    assert np.abs(after - before).max() > 1e-5, "texture did not move"
