@@ -263,6 +263,13 @@ def _fwd_kernel_body(
     x1e = x1q.astype(jnp.bfloat16) if eval_bf16 else x1q
     import os as _os0
     _skip_id = _os0.environ.get("DD_SKIP_ID") == "1"  # profiling only
+    # quad-outer merged phase A+C (see _quad_outer_body below): default ON
+    # for the plain eval path; the flag variants keep the chunk-outer loop
+    _qouter = (
+        _os0.environ.get("DD_QOUTER", "1") == "1"
+        and xw == 0 and cu == 1
+        and not (split_eval or hoist_eval or eval_bf16)
+    )
     y0 = (t // ntx) * th
     nq = th // q
 
@@ -286,6 +293,133 @@ def _fwd_kernel_body(
         return jnp.sum(
             jnp.where(colq_iota == qi, mat, 0.0), axis=1, keepdims=True
         )
+
+    # ---- QUAD-OUTER merged phase A+C (default): loop quads outer, chunks
+    # inner over the quad's prefetched chunk window (qclo/qchi — the same
+    # conservative windows phase C always used; a row's winner necessarily
+    # lies in a chunk whose y-range contains the row).  The per-quad winner
+    # state is a (q*tw, 1) register PAIR merged with plain wheres — the
+    # chunk-outer loop instead carries (q*tw, nq) state and pays a
+    # colq_get (lane-masked reduce) plus a lane-masked scatter-merge on
+    # EVERY (chunk, quad) visit; quad-outer extracts nothing and merges the
+    # winner column into the ids matrix once per quad.  The chunk setup
+    # ((1, kc) lane ops) re-runs per (quad, chunk) instead of per chunk —
+    # measured net win (the setup is 2-vreg work; the state machinery it
+    # replaces is 64-vreg work).  Visit counts are phase C's: window gaps
+    # (mid-window chunks whose y-range misses the quad) evaluate as no-ops,
+    # exactly as they always did in phase C.
+    if _qouter:
+        skip_a = _os0.environ.get("DD_SKIP_A") == "1"  # profiling only
+        skip_c = _os0.environ.get("DD_SKIP_C") == "1"  # profiling only
+
+        def quad_all(qi, ids_mat):
+            qv = qwin_ref[(bi * pl.num_programs(1) + t) * nq + qi]
+            q_clo = qv // 256
+            q_chi = qv % 256
+            r0 = qi * q
+            rows_i = jrow_i + (y0 + r0)
+            yq = (2.0 * rows_i.astype(jnp.float32) + 1.0) / h - 1.0
+
+            def chunk_a2(ci, carry):
+                zb, ib = carry  # (q*tw, 1) registers
+                base = pl.multiple_of((cb0 + ci) * k_chunk, 128)
+                c32 = bins_ref[0, :, pl.ds(base, k_chunk)]  # (32, kc)
+
+                def lane(j):
+                    return c32[j:j + 1, :]
+
+                det = lane(12)
+                ids_f = lane(13)
+                sgn = jnp.sign(det)
+                a0, b0, c0 = lane(0) * sgn, lane(1) * sgn, lane(2) * sgn
+                a1, b1, c1 = lane(3) * sgn, lane(4) * sgn, lane(5) * sgn
+                a2, b2, c2 = lane(6) * sgn, lane(7) * sgn, lane(8) * sgn
+                az, bz, cz = lane(9), lane(10), lane(11)
+                inv_det = 1.0 / jnp.where(det != 0.0, det, 1.0)
+                slot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1)
+                    + ci * k_chunk
+                )
+                slot_ok = (slot < count) & (det != 0)
+                if lean_eval:
+                    # see the chunk-outer lean block: invalid slots are
+                    # poisoned into c0 / inv_det once per chunk
+                    bad = jnp.logical_not(slot_ok)
+                    c0 = jnp.where(bad, jnp.float32(-jnp.inf), c0)
+                    inv_det = jnp.where(bad, 1.0, inv_det)
+                e0 = xq * a0 + (yq * b0 + c0)
+                e1 = xq * a1 + (yq * b1 + c1)
+                e2 = xq * a2 + (yq * b2 + c2)
+                zlin = xq * az + (yq * bz + cz)
+                emin = jnp.minimum(jnp.minimum(e0, e1), e2)
+                covered = emin >= 0
+                z = zlin * inv_det
+                if lean_eval:
+                    ok = covered & (jnp.abs(z) <= 1.0)
+                else:
+                    ok = covered & (z >= -1.0) & (z <= 1.0) & slot_ok
+                zm = jnp.where(ok, z, _INF)  # (q*tw, kc)
+                z_c = jnp.min(zm, axis=1, keepdims=True)  # (q*tw, 1)
+                if _skip_id:  # profiling only: no id reduction
+                    id_c = z_c
+                else:
+                    id_c = jnp.min(
+                        jnp.where(zm == z_c, ids_f, _BIG),
+                        axis=1, keepdims=True,
+                    )
+                better = z_c < zb
+                same = (z_c == zb) & (z_c < _INF)
+                return (
+                    jnp.where(better, z_c, zb),
+                    jnp.where(
+                        better, id_c,
+                        jnp.where(same, jnp.minimum(id_c, ib), ib),
+                    ),
+                )
+
+            init = (
+                jnp.full((q * tw, 1), _INF, jnp.float32),
+                jnp.full((q * tw, 1), _BIG, jnp.float32),
+            )
+            if skip_a:
+                _, ib4 = init
+            else:
+                _, ib4 = jax.lax.fori_loop(q_clo, q_chi, chunk_a2, init)
+
+            def chunk_c2(ci, acc):
+                base = pl.multiple_of((cb0 + ci) * k_chunk, 128)
+                c32 = bins_ref[0, :, pl.ds(base, k_chunk)]
+                ids_f = c32[13:14, :]
+                if compact:
+                    # sentinel ids on non-real slots — id match is exact
+                    indicator = (ids_f == ib4).astype(jnp.float32)
+                else:
+                    slot = (
+                        jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1)
+                        + ci * k_chunk
+                    )
+                    indicator = (
+                        (ids_f == ib4) & (slot < count)
+                    ).astype(jnp.float32)
+                return acc + _one_hot_dot(
+                    c32, indicator, (((1,), (1,)), ((), ()))
+                )  # (32, q*tw)
+
+            acc = jax.lax.fori_loop(
+                q_clo, 0 if skip_c else q_chi, chunk_c2,
+                jnp.zeros((PACKED_WIDTH, q * tw), jnp.float32),
+            )
+            for j in range(q):
+                rows_ref[0, :, r0 + j, :] = acc[:, j * tw : (j + 1) * tw]
+            sel = colq_iota == qi
+            return jnp.where(sel, ib4, ids_mat)
+
+        ib_mat = jax.lax.fori_loop(
+            0, nq, quad_all, jnp.full((q * tw, nq), _BIG, jnp.float32)
+        )
+        fg = ib_mat < _BIG
+        ids_ref[0, 0] = jnp.where(fg, ib_mat.astype(jnp.int32) + 1, 0)
+        return
 
     # ---- phase A (x-windowed variant, xw > 0): per (chunk, quad), only
     # evaluate the chunk's conservative column range, xw columns at a time.
