@@ -300,6 +300,32 @@ class DiffDope:
         log.info("compact bin table: probe %d slots -> capacity %d", tot0, total)
         return total
 
+    def _resolve_cull(self) -> bool:
+        """tpu.cull_backfaces: auto | true | false (default auto).
+
+        auto enables backface culling only when the mesh is closed and
+        consistently orientable (mesh.orient_faces_consistently) — exactly
+        the meshes for which culling provably never changes the rendered
+        image (the depth winner along any ray is the entering, front-facing
+        crossing).  Open scan meshes (e.g. the reference example's
+        AlphabetSoup: 57 components, 2548 boundary edges, overlapping
+        double-layered patches) keep the reference's no-culling nvdiffrast
+        semantics (diffdope.py:198-200); forcing `true` there is a measured
+        approximation (tools/cull_ab.py).  Culling roughly halves per-tile
+        bin occupancy, which every raster kernel cost scales with.
+        """
+        val = self.cfg.get("tpu", ConfigNode()).get("cull_backfaces", "auto")
+        if isinstance(val, bool):
+            return val
+        sval = str(val).lower()
+        if sval in ("true", "1", "on"):
+            return True
+        if sval in ("false", "0", "off"):
+            return False
+        mesh = self.object3d.mesh
+        return bool(getattr(mesh, "is_closed", False)
+                    and getattr(mesh, "is_oriented", False))
+
     def _precompute_bins(self, arrays, proj, resolution, max_tris):
         """Bins at the initial poses, widened by tpu.bin_margin_px — shared
         by the unfused (render_fn) and fused loss paths when
@@ -333,6 +359,7 @@ class DiffDope:
             self._resolve_compact_total(arrays, proj, resolution, max_tris)
             if impl == "pallas" else None
         )
+        cull = self._resolve_cull()
 
         def render_fn(mtx, tex=None, vtx_color=None, corner_colors=None):
             kw = dict(arrays)
@@ -355,6 +382,7 @@ class DiffDope:
                 layout=layout,
                 bins=bins,
                 compact_total=compact_total,
+                cull_backfaces=cull,
                 **kw,
             )
 
@@ -420,6 +448,7 @@ class DiffDope:
             tex=arrays.get("tex"), uv=arrays.get("uv"),
             uv_idx=arrays.get("uv_idx"),
             tile_hw=self.tile_hw, max_tris_per_tile=max_tris, bins=bins,
+            cull_backfaces=self._resolve_cull(),
             compact_total=self._resolve_compact_total(
                 arrays, proj, resolution, max_tris
             ),

@@ -319,6 +319,116 @@ def build_edge_adjacency(faces: np.ndarray) -> np.ndarray:
     return adj
 
 
+def orient_faces_consistently(pos: np.ndarray, faces: np.ndarray):
+    """Rewind faces so the whole mesh has consistent outward orientation.
+
+    Scan/export meshes often carry mixed winding (AlphabetSoup: ~8% of
+    visible faces disagree with their neighbors), which breaks two things
+    downstream: the silhouette facing bits (planar._silhouette_planar
+    classifies front/back by the screen-space determinant sign) and
+    backface culling (planar.bin_triangles_planar cull_backfaces).  The
+    reference never needs this because nvdiffrast rasterizes both windings
+    (reference diffdope.py:198-200) and hashes topology for antialiasing;
+    on TPU a consistent winding is what makes the 2x cull lever valid.
+
+    Coverage, depth, and attribute interpolation are winding-invariant
+    (flipping a face permutes its barycentrics together with its indices),
+    so rewinding never changes rendered images — only the facing
+    classification.
+
+    Returns (faces_out, info) where info is a dict with:
+      ``closed``      every edge is shared by exactly 2 faces,
+      ``orientable``  orientation propagation met no conflict,
+      ``n_flipped``   number of faces whose winding was reversed.
+    faces_out is a new array (input untouched); if the mesh is
+    non-orientable the input winding is returned unchanged.
+
+    Method: BFS over the face-adjacency graph flipping faces so every
+    shared edge is traversed in opposite directions by its two faces, then
+    a per-component global flip so the signed volume is positive (outward
+    winding for a closed mesh under the right-handed convention the
+    pipeline's facing test assumes).
+    """
+    faces = np.asarray(faces, np.int32)
+    t = len(faces)
+    info = {"closed": t > 0, "orientable": True, "n_flipped": 0}
+    if t == 0:
+        return faces.copy(), info
+
+    # undirected edge -> up to 2 (face, direction) users
+    edge_map: dict = {}
+    manifold = True
+    for ti in range(t):
+        f = faces[ti]
+        for k in range(3):
+            a, b = int(f[k]), int(f[(k + 1) % 3])
+            key = (a, b) if a < b else (b, a)
+            users = edge_map.setdefault(key, [])
+            users.append((ti, a < b))
+            if len(users) > 2:
+                manifold = False
+    if not manifold:
+        info["closed"] = False
+        info["orientable"] = False
+        return faces.copy(), info
+
+    # face adjacency with relative-flip parity
+    nbrs = [[] for _ in range(t)]
+    for users in edge_map.values():
+        if len(users) != 2:
+            info["closed"] = False
+            continue
+        (t0, d0), (t1, d1) = users
+        # consistent orientation: the two faces traverse the shared edge in
+        # OPPOSITE directions, i.e. eff_dir differs; same recorded dir means
+        # the neighbor needs the opposite flip state
+        same_dir = d0 == d1
+        nbrs[t0].append((t1, same_dir))
+        nbrs[t1].append((t0, same_dir))
+
+    flip = np.zeros(t, bool)
+    seen = np.zeros(t, bool)
+    comp = np.full(t, -1, np.int32)
+    n_comp = 0
+    from collections import deque
+
+    for start in range(t):
+        if seen[start]:
+            continue
+        seen[start] = True
+        comp[start] = n_comp
+        queue = deque([start])
+        while queue:
+            cur = queue.popleft()
+            for nxt, same_dir in nbrs[cur]:
+                want = flip[cur] ^ same_dir
+                if seen[nxt]:
+                    if flip[nxt] != want:
+                        info["orientable"] = False
+                        return faces.copy(), info
+                else:
+                    seen[nxt] = True
+                    flip[nxt] = want
+                    comp[nxt] = n_comp
+                    queue.append(nxt)
+        n_comp += 1
+
+    out = faces.copy()
+    out[flip] = out[flip][:, [0, 2, 1]]
+
+    # per-component outward sign via signed volume
+    v0, v1, v2 = pos[out[:, 0]], pos[out[:, 1]], pos[out[:, 2]]
+    vol_f = np.einsum("ij,ij->i", v0.astype(np.float64),
+                      np.cross(v1.astype(np.float64), v2.astype(np.float64)))
+    for c in range(n_comp):
+        sel = comp == c
+        if vol_f[sel].sum() < 0:
+            out[sel] = out[sel][:, [0, 2, 1]]
+            flip[sel] = ~flip[sel]
+    info["n_flipped"] = int(flip.sum())
+    return out, info
+
+
 def _compute_vertex_normals(pos: np.ndarray, faces: np.ndarray) -> np.ndarray:
     """Area-weighted vertex normals (trimesh fallback equivalent)."""
     from diffdope_tpu import native
@@ -364,6 +474,12 @@ class Mesh:
     dimensions: Optional[list] = None
     center_point: Optional[list] = None
     edge_adj: Optional[np.ndarray] = None  # (T,3) silhouette adjacency
+    # Winding diagnosis from orient_faces_consistently: a closed orientable
+    # mesh (every edge shared by exactly 2 faces, no orientation conflict)
+    # is eligible for backface culling in the raster path.
+    is_closed: bool = False
+    is_oriented: bool = False
+    n_rewound: int = 0
     # (T,3,3) texture baked to per-corner colors (bilinear at corner uvs).
     # At typical scan-mesh density (a few screen px per triangle) Gouraud
     # interpolation of these is visually identical to per-pixel texture
@@ -396,6 +512,7 @@ def load_mesh(
     vertex_pad: int = 8,
     triangle_pad: int = 8,
     texture_path=None,
+    fix_winding: bool = True,
 ) -> Mesh:
     """Load a PLY/OBJ mesh with the reference's conventions.
 
@@ -406,6 +523,10 @@ def load_mesh(
             sees static, aligned shapes.
         texture_path: override texture image path; defaults to the PLY
             TextureFile comment resolved next to the mesh.
+        fix_winding: rewind faces to a consistent outward orientation when
+            the mesh is orientable (see orient_faces_consistently).  Images
+            are winding-invariant; this corrects silhouette facing bits and
+            enables backface culling for closed meshes.
     """
     path = Path(path)
     if path.suffix.lower() == ".ply":
@@ -418,6 +539,15 @@ def load_mesh(
     pos = data["vertices"].astype(np.float32) * float(scale)
     faces = data["faces"].astype(np.int32)
     n, t = len(pos), len(faces)
+
+    wind_info = {"closed": False, "orientable": False, "n_flipped": 0}
+    if fix_winding:
+        faces, wind_info = orient_faces_consistently(pos, faces)
+        if wind_info["n_flipped"]:
+            log.info(
+                "rewound %d/%d faces to consistent orientation (closed=%s)",
+                wind_info["n_flipped"], t, wind_info["closed"],
+            )
 
     normals = data.get("normals")
     if normals is None:
@@ -478,6 +608,9 @@ def load_mesh(
         dimensions=dims,
         center_point=center,
         edge_adj=pad_rows(adj, t_pad, fill=-1),
+        is_closed=wind_info["closed"],
+        is_oriented=wind_info["orientable"],
+        n_rewound=wind_info["n_flipped"],
         corner_colors=pad_rows(corner_colors, t_pad) if corner_colors is not None else None,
     )
     log.info(

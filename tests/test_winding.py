@@ -1,0 +1,130 @@
+"""Winding repair (mesh.orient_faces_consistently) + backface culling.
+
+Culling contract (render/planar.py bin_triangles_planar): for a CLOSED
+consistently-wound mesh the depth winner along any pixel ray is the entering
+(front-facing) crossing, so dropping back faces at bin time never changes the
+rendered image.  The reference keeps nvdiffrast's no-culling semantics
+(reference diffdope.py:198-200); culling is the TPU path's bin-halving lever
+for watertight meshes, gated by the winding diagnosis these tests cover.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from diffdope_tpu import geometry as geo
+from diffdope_tpu.mesh import Mesh, orient_faces_consistently
+from diffdope_tpu.render.pipeline import render_batch
+from diffdope_tpu.testing import icosphere
+
+
+def _edge_users(faces):
+    em = {}
+    for ti, f in enumerate(faces):
+        for k in range(3):
+            a, b = int(f[k]), int(f[(k + 1) % 3])
+            em.setdefault((min(a, b), max(a, b)), []).append((ti, a < b))
+    return em
+
+
+def _signed_volume(pos, faces):
+    v0, v1, v2 = pos[faces[:, 0]], pos[faces[:, 1]], pos[faces[:, 2]]
+    return float(np.einsum("ij,ij->i", v0, np.cross(v1, v2)).sum() / 6.0)
+
+
+class TestOrientFaces:
+    def test_scrambled_icosphere_repaired(self):
+        verts, faces = icosphere(2)
+        rng = np.random.default_rng(3)
+        flip = rng.random(len(faces)) < 0.3
+        scrambled = faces.copy()
+        scrambled[flip] = scrambled[flip][:, [0, 2, 1]]
+
+        out, info = orient_faces_consistently(verts, scrambled)
+        assert info["closed"] and info["orientable"]
+        assert info["n_flipped"] > 0
+        # every interior edge traversed in opposite directions by its faces
+        for users in _edge_users(out).values():
+            assert len(users) == 2
+            (_, d0), (_, d1) = users
+            assert d0 != d1
+        # outward orientation: positive signed volume
+        assert _signed_volume(verts, out) > 0
+        # repair is winding-only: same vertex triples per face
+        assert (np.sort(out, axis=1) == np.sort(scrambled, axis=1)).all()
+
+    def test_consistent_input_untouched(self):
+        verts, faces = icosphere(1)
+        out, info = orient_faces_consistently(verts, faces)
+        assert info["closed"] and info["orientable"]
+        if _signed_volume(verts, faces) > 0:
+            assert info["n_flipped"] == 0
+            np.testing.assert_array_equal(out, faces)
+
+    def test_open_mesh_flagged(self):
+        verts = np.array(
+            [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32
+        )
+        faces = np.array([[0, 1, 2], [1, 3, 2]], np.int32)
+        _, info = orient_faces_consistently(verts, faces)
+        assert not info["closed"]
+        assert info["orientable"]
+
+    def test_mesh_flags_default_false(self):
+        m = Mesh(
+            pos=np.zeros((3, 3), np.float32),
+            pos_idx=np.zeros((1, 3), np.int32),
+            vtx_normals=np.zeros((3, 3), np.float32),
+            num_vertices=3, num_triangles=1,
+        )
+        assert not (m.is_closed or m.is_oriented)
+
+
+class TestCullEquality:
+    def test_closed_mesh_cull_is_exact(self):
+        """Culled and unculled renders are bit-identical for a watertight
+        consistently-wound mesh (the auto-cull eligibility contract)."""
+        res = (32, 128)
+        h, w = res
+        f = 40.0
+        proj = jnp.asarray(
+            geo.projection_from_intrinsics(f, f, w / 2, h / 2, w, h, 0.01, 100.0),
+            jnp.float32,
+        )
+        verts, faces = icosphere(2)
+        faces, info = orient_faces_consistently(verts, faces)
+        assert info["closed"] and info["orientable"]
+        pos = jnp.asarray(verts * 0.4)
+        tri = jnp.asarray(faces)
+        col = jnp.asarray((verts * 0.5 + 0.5).astype(np.float32))
+        m0 = np.eye(4, dtype=np.float32)
+        m0[2, 3] = -2.0
+        m1 = m0.copy()
+        m1[0, 3] = 0.15
+        m1[:3, :3] = np.asarray(
+            geo.matrix33_from_quat(
+                jnp.asarray(
+                    geo.quat_from_axis_angle(np.array([1.0, 0.3, 0.2]), 0.7)
+                )
+            )
+        )
+        mtx = jnp.asarray(np.stack([m0, m1]))
+
+        outs = {}
+        for cull in (False, True):
+            outs[cull] = jax.jit(
+                lambda mm, cull=cull: render_batch(
+                    proj, mm, pos, tri, res, vtx_color=col,
+                    raster_impl="pallas", tile_hw=(8, 128),
+                    max_tris_per_tile=384, layout="channels",
+                    cull_backfaces=cull,
+                )
+            )(mtx)
+        np.testing.assert_array_equal(
+            np.asarray(outs[False]["ids"]), np.asarray(outs[True]["ids"])
+        )
+        for a, b in zip(outs[False]["rgb"], outs[True]["rgb"]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(
+            np.asarray(outs[False]["depth"]), np.asarray(outs[True]["depth"])
+        )
