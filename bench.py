@@ -78,6 +78,10 @@ def build_problem():
 
     import os
     tile_h = int(os.environ.get("DD_TILE_H", "32"))
+    # tile width < 128 selects sub-tile binning (raster_v2._sub_split):
+    # narrower bins cut the raster kernels' evaluated (pixel, triangle)
+    # pairs ~in half per halving (6-px triangles vs the bin width)
+    tile_w = int(os.environ.get("DD_TILE_W", "128"))
     max_k = int(os.environ.get("DD_MAX_K", "2048"))
     # NB: AlphabetSoup has ~8% inconsistently-wound visible faces — culling
     # is wrong for it (validated); only enable for known-consistent meshes
@@ -87,7 +91,7 @@ def build_problem():
                   compact_total=None):
         return render_batch(
             proj, mtx, pos, tri, RES, edge_adj=edge_adj,
-            raster_impl="pallas", tile_hw=(tile_h, 128), max_tris_per_tile=max_k,
+            raster_impl="pallas", tile_hw=(tile_h, tile_w), max_tris_per_tile=max_k,
             layout=layout, cull_backfaces=cull, bins=bins, max_occ=max_occ,
             compact_total=compact_total, **kw,
         )
@@ -122,7 +126,7 @@ def build_problem():
         pc = pos[tri.reshape(-1)][None]
         cp = corner_planes(pc[0], mvp)
         _, det = packed_planar(cp, None, None, None)
-        _, counts, ov = bin_triangles_planar(cp, det, RES, (tile_h, 128), max_k)
+        _, counts, ov = bin_triangles_planar(cp, det, RES, (tile_h, tile_w), max_k)
         return ov, counts.max()
 
     ov, cmax = _ovf(jnp.asarray(q_gt, jnp.float32), jnp.asarray(t_gt, jnp.float32))
@@ -149,7 +153,7 @@ def build_problem():
         cp = corner_planes(pc, mvp)
         _, det = packed_planar(cp, None, None, None)
         idx, _, _ = bin_triangles_planar(
-            cp, det, RES, (tile_h, 128), max_k, cull_backfaces=cull
+            cp, det, RES, (tile_h, tile_w), max_k, cull_backfaces=cull
         )
         return bin_occupancy(idx, tri.shape[0])
 
@@ -174,7 +178,7 @@ def build_problem():
             cp = corner_planes(pc, mvp)
             _, det = packed_planar(cp, None, None, None)
             _, counts, _ = bin_triangles_planar(
-                cp, det, RES, (tile_h, 128), max_k, cull_backfaces=cull
+                cp, det, RES, (tile_h, tile_w), max_k, cull_backfaces=cull
             )
             return jnp.sum(-(-counts // kc_c) * kc_c)
 
@@ -183,7 +187,7 @@ def build_problem():
             "DD_COMPACT_TOT",
             str(-(-int(tot0 * 1.35 + kc_c) // kc_c) * kc_c),
         ))
-        nt_all = -(-RES[0] // tile_h) * -(-RES[1] // 128)
+        nt_all = -(-RES[0] // tile_h) * max(-(-RES[1] // 128) * (128 // tile_w), -(-RES[1] // tile_w))
         log(f"compact table: {tot0} probe slots -> capacity {compact_total} "
             f"(uniform K would be {nt_all * max_k})")
 
@@ -203,7 +207,7 @@ def build_problem():
         for attempt in range(4):
             try:
                 bins = precompute_bins(
-                    proj, mtx0, pos, tri, RES, (tile_h, 128), k_pre, margin,
+                    proj, mtx0, pos, tri, RES, (tile_h, tile_w), k_pre, margin,
                     max_occ="auto",
                 )
                 break
@@ -224,7 +228,7 @@ def build_problem():
 
     fused_ctx = dict(
         proj=proj, pos=pos, tri=tri, edge_adj=edge_adj,
-        tile_hw=(tile_h, 128), max_k=max_k, cull=cull, max_occ=max_occ,
+        tile_hw=(tile_h, tile_w), max_k=max_k, cull=cull, max_occ=max_occ,
         corner_colors=kw.get("corner_colors"), vtx_color=kw.get("vtx_color"),
         tex=kw.get("tex"), uv=kw.get("uv"), uv_idx=kw.get("uv_idx"),
         bins=bins, compact_total=compact_total,

@@ -416,8 +416,11 @@ def make_fused_loss(
         proj_cam = proj_cam[None]
     h, w = resolution
     th, tw = tile_hw
-    nty, ntx = -(-h // th), -(-w // tw)
-    hp, wp = nty * th, ntx * tw
+    from diffdope_tpu.render.raster_v2 import padded_hw
+
+    # raster outputs are padded to the 128-wide SUPER-tile grid even when
+    # binning uses narrower sub-tiles (raster_v2._sub_split)
+    hp, wp = padded_hw(resolution, tile_hw)
     t_count = pos_idx.shape[0]
     flat_idx = pos_idx.reshape(-1)
     pos_c = pos[flat_idx][None] if pos.ndim == 2 else jnp.take(pos, flat_idx, axis=1)

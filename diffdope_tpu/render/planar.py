@@ -395,10 +395,22 @@ def bin_triangles_planar(
     can never win the depth test against the front face along the same ray
     (the reference's nvdiffrast rasterizes both windings, diffdope.py:198);
     ids can differ at exact-tie silhouette grazing pixels.  Off by default.
+
+    tw < 128 bins at SUB-TILE granularity for the raster kernels' 128-wide
+    super-tiles (raster_v2 statically unrolls 128//tw sub-tiles per kernel
+    instance): the x grid is padded so each 128-px super-tile owns exactly
+    128//tw consecutive sub-tiles (the pad columns past the image are
+    always empty).  Narrow bins cut the kernels' evaluated (pixel,
+    triangle) pairs roughly in half per halving of tw (~6-px triangles
+    against the tile width).
     """
     h, w = resolution
     th, tw = tile_hw
     nty, ntx = -(-h // th), -(-w // tw)
+    if tw < 128:
+        if 128 % tw != 0:
+            raise ValueError(f"sub-tile width must divide 128 (got {tw})")
+        ntx = -(-w // 128) * (128 // tw)
     eps = 1e-9
 
     xs = jax.lax.stop_gradient(cp["x"])

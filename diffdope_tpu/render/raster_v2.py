@@ -164,13 +164,14 @@ def _fwd_kernel_v2(
     counts_ref, bounds_ref, qwin_ref, xwin_ref,
     bins_ref, ids_ref, rows_ref, zb_s, ib_s,
     *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False, xw=0, cu=1,
-    split_eval=False, hoist_eval=False, lean_eval=False,
+    split_eval=False, hoist_eval=False, lean_eval=False, sub=1,
 ):
     return _fwd_kernel_body(
         counts_ref, bounds_ref, qwin_ref, xwin_ref, bins_ref, ids_ref,
         rows_ref, zb_s, ib_s, th=th, tw=tw, ntx=ntx, h=h, w=w,
         k_chunk=k_chunk, q_rows=q_rows, eval_bf16=eval_bf16, xw=xw, cu=cu,
         split_eval=split_eval, hoist_eval=hoist_eval, lean_eval=lean_eval,
+        sub=sub,
     )
 
 
@@ -178,7 +179,7 @@ def _fwd_kernel_v2_compact(
     counts_ref, off_ref, used_ref, bounds_ref, qwin_ref, xwin_ref,
     bins_ref, ids_ref, rows_ref, zb_s, ib_s,
     *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False, cu=1,
-    split_eval=False, hoist_eval=False, lean_eval=False, totc=0,
+    split_eval=False, hoist_eval=False, lean_eval=False, totc=0, sub=1,
 ):
     return _fwd_kernel_body(
         counts_ref, bounds_ref, qwin_ref, xwin_ref, bins_ref, ids_ref,
@@ -186,6 +187,7 @@ def _fwd_kernel_v2_compact(
         th=th, tw=tw, ntx=ntx, h=h, w=w, k_chunk=k_chunk, q_rows=q_rows,
         eval_bf16=eval_bf16, xw=0, cu=cu, split_eval=split_eval,
         hoist_eval=hoist_eval, lean_eval=lean_eval, compact=True, totc=totc,
+        sub=sub,
     )
 
 
@@ -194,7 +196,7 @@ def _fwd_kernel_body(
     bins_ref, ids_ref, rows_ref, zb_s, ib_s, off_ref=None, used_ref=None,
     *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False, xw=0, cu=1,
     split_eval=False, hoist_eval=False, lean_eval=False, compact=False,
-    totc=0,
+    totc=0, sub=1,
 ):
     """Vectorized forward: see module docstring.
 
@@ -270,6 +272,12 @@ def _fwd_kernel_body(
         and xw == 0 and cu == 1
         and not (split_eval or hoist_eval or eval_bf16)
     )
+    if sub > 1 and not _qouter:
+        raise NotImplementedError(
+            "sub-tile binning (tile width < 128) requires the quad-outer "
+            "kernel path (DD_QOUTER=1, no DD_XWIN/DD_CUNROLL/DD_EVAL_SPLIT/"
+            "DD_EVAL_HOIST/DD_EVAL_BF16)"
+        )
     y0 = (t // ntx) * th
     nq = th // q
 
@@ -312,113 +320,154 @@ def _fwd_kernel_body(
         skip_a = _os0.environ.get("DD_SKIP_A") == "1"  # profiling only
         skip_c = _os0.environ.get("DD_SKIP_C") == "1"  # profiling only
 
-        def quad_all(qi, ids_mat):
-            qv = qwin_ref[(bi * pl.num_programs(1) + t) * nq + qi]
-            q_clo = qv // 256
-            q_chi = qv % 256
-            r0 = qi * q
-            rows_i = jrow_i + (y0 + r0)
-            yq = (2.0 * rows_i.astype(jnp.float32) + 1.0) / h - 1.0
+        # sub-tile loop (static unroll): with tile width tw_bin = tw//sub
+        # the bins/counts/windows tables are per SUB-tile (tsub = t*sub + s,
+        # planar.bin_triangles_planar pads the x grid so each 128-px
+        # super-tile owns exactly `sub` consecutive sub-tiles) while the
+        # kernel instance still owns the full 128-wide output block.  Eval
+        # tensors shrink to (q*tws, kc) — the x-axis waste that lane-based
+        # gating could never cut (ROADMAP: every DD_XWIN config regressed)
+        # falls out of the BIN granularity instead.
+        tws = tw // sub
+        n_sub = pl.num_programs(1) * sub
+        iq_s = jax.lax.broadcasted_iota(jnp.int32, (q * tws, 1), 0)
+        jrow_s = iq_s // tws  # (q*tws, 1): 0..q-1
+        if not compact:
+            k_sub = bins_ref.shape[2] // sub  # per-sub-tile K
+            n_chunks_sub = k_sub // k_chunk
 
-            def chunk_a2(ci, carry):
-                zb, ib = carry  # (q*tw, 1) registers
-                base = pl.multiple_of((cb0 + ci) * k_chunk, 128)
-                c32 = bins_ref[0, :, pl.ds(base, k_chunk)]  # (32, kc)
-
-                def lane(j):
-                    return c32[j:j + 1, :]
-
-                det = lane(12)
-                ids_f = lane(13)
-                sgn = jnp.sign(det)
-                a0, b0, c0 = lane(0) * sgn, lane(1) * sgn, lane(2) * sgn
-                a1, b1, c1 = lane(3) * sgn, lane(4) * sgn, lane(5) * sgn
-                a2, b2, c2 = lane(6) * sgn, lane(7) * sgn, lane(8) * sgn
-                az, bz, cz = lane(9), lane(10), lane(11)
-                inv_det = 1.0 / jnp.where(det != 0.0, det, 1.0)
-                slot = (
-                    jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1)
-                    + ci * k_chunk
-                )
-                slot_ok = (slot < count) & (det != 0)
-                if lean_eval:
-                    # see the chunk-outer lean block: invalid slots are
-                    # poisoned into c0 / inv_det once per chunk
-                    bad = jnp.logical_not(slot_ok)
-                    c0 = jnp.where(bad, jnp.float32(-jnp.inf), c0)
-                    inv_det = jnp.where(bad, 1.0, inv_det)
-                e0 = xq * a0 + (yq * b0 + c0)
-                e1 = xq * a1 + (yq * b1 + c1)
-                e2 = xq * a2 + (yq * b2 + c2)
-                zlin = xq * az + (yq * bz + cz)
-                emin = jnp.minimum(jnp.minimum(e0, e1), e2)
-                covered = emin >= 0
-                z = zlin * inv_det
-                if lean_eval:
-                    ok = covered & (jnp.abs(z) <= 1.0)
-                else:
-                    ok = covered & (z >= -1.0) & (z <= 1.0) & slot_ok
-                zm = jnp.where(ok, z, _INF)  # (q*tw, kc)
-                z_c = jnp.min(zm, axis=1, keepdims=True)  # (q*tw, 1)
-                if _skip_id:  # profiling only: no id reduction
-                    id_c = z_c
-                else:
-                    id_c = jnp.min(
-                        jnp.where(zm == z_c, ids_f, _BIG),
-                        axis=1, keepdims=True,
-                    )
-                better = z_c < zb
-                same = (z_c == zb) & (z_c < _INF)
-                return (
-                    jnp.where(better, z_c, zb),
-                    jnp.where(
-                        better, id_c,
-                        jnp.where(same, jnp.minimum(id_c, ib), ib),
-                    ),
-                )
-
-            init = (
-                jnp.full((q * tw, 1), _INF, jnp.float32),
-                jnp.full((q * tw, 1), _BIG, jnp.float32),
-            )
-            if skip_a:
-                _, ib4 = init
+        for s in range(sub):
+            tsub = t * sub + s
+            count_s = counts_ref[tsub]
+            if compact:
+                cb0_s = off_ref[tsub]
             else:
-                _, ib4 = jax.lax.fori_loop(q_clo, q_chi, chunk_a2, init)
+                cb0_s = s * n_chunks_sub
+            xcol_s = (iq_s % tws) + ((t % ntx) * tw + s * tws)
+            xq_s = (2.0 * xcol_s.astype(jnp.float32) + 1.0) / w - 1.0
 
-            def chunk_c2(ci, acc):
-                base = pl.multiple_of((cb0 + ci) * k_chunk, 128)
-                c32 = bins_ref[0, :, pl.ds(base, k_chunk)]
-                ids_f = c32[13:14, :]
-                if compact:
-                    # sentinel ids on non-real slots — id match is exact
-                    indicator = (ids_f == ib4).astype(jnp.float32)
-                else:
+            def quad_all(qi, ids_mat, tsub=tsub, count=count_s, cb0=cb0_s,
+                         xq=xq_s, s=s):
+                qv = qwin_ref[(bi * n_sub + tsub) * nq + qi]
+                q_clo = qv // 256
+                q_chi = qv % 256
+                r0 = qi * q
+                rows_i = jrow_s + (y0 + r0)
+                yq = (2.0 * rows_i.astype(jnp.float32) + 1.0) / h - 1.0
+
+                def chunk_a2(ci, carry):
+                    zb, ib = carry  # (q*tws, 1) registers
+                    base = pl.multiple_of((cb0 + ci) * k_chunk, 128)
+                    c32 = bins_ref[0, :, pl.ds(base, k_chunk)]  # (32, kc)
+
+                    def lane(j):
+                        return c32[j:j + 1, :]
+
+                    det = lane(12)
+                    ids_f = lane(13)
+                    sgn = jnp.sign(det)
+                    a0, b0, c0 = lane(0) * sgn, lane(1) * sgn, lane(2) * sgn
+                    a1, b1, c1 = lane(3) * sgn, lane(4) * sgn, lane(5) * sgn
+                    a2, b2, c2 = lane(6) * sgn, lane(7) * sgn, lane(8) * sgn
+                    az, bz, cz = lane(9), lane(10), lane(11)
+                    inv_det = 1.0 / jnp.where(det != 0.0, det, 1.0)
                     slot = (
                         jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1)
                         + ci * k_chunk
                     )
-                    indicator = (
-                        (ids_f == ib4) & (slot < count)
-                    ).astype(jnp.float32)
-                return acc + _one_hot_dot(
-                    c32, indicator, (((1,), (1,)), ((), ()))
-                )  # (32, q*tw)
+                    slot_ok = (slot < count) & (det != 0)
+                    if lean_eval:
+                        # see the chunk-outer lean block: invalid slots are
+                        # poisoned into c0 / inv_det once per chunk
+                        bad = jnp.logical_not(slot_ok)
+                        c0 = jnp.where(bad, jnp.float32(-jnp.inf), c0)
+                        inv_det = jnp.where(bad, 1.0, inv_det)
+                    e0 = xq * a0 + (yq * b0 + c0)
+                    e1 = xq * a1 + (yq * b1 + c1)
+                    e2 = xq * a2 + (yq * b2 + c2)
+                    zlin = xq * az + (yq * bz + cz)
+                    emin = jnp.minimum(jnp.minimum(e0, e1), e2)
+                    covered = emin >= 0
+                    z = zlin * inv_det
+                    if lean_eval:
+                        ok = covered & (jnp.abs(z) <= 1.0)
+                    else:
+                        ok = covered & (z >= -1.0) & (z <= 1.0) & slot_ok
+                    zm = jnp.where(ok, z, _INF)  # (q*tws, kc)
+                    z_c = jnp.min(zm, axis=1, keepdims=True)  # (q*tws, 1)
+                    if _skip_id:  # profiling only: no id reduction
+                        id_c = z_c
+                    else:
+                        id_c = jnp.min(
+                            jnp.where(zm == z_c, ids_f, _BIG),
+                            axis=1, keepdims=True,
+                        )
+                    better = z_c < zb
+                    same = (z_c == zb) & (z_c < _INF)
+                    return (
+                        jnp.where(better, z_c, zb),
+                        jnp.where(
+                            better, id_c,
+                            jnp.where(same, jnp.minimum(id_c, ib), ib),
+                        ),
+                    )
 
-            acc = jax.lax.fori_loop(
-                q_clo, 0 if skip_c else q_chi, chunk_c2,
-                jnp.zeros((PACKED_WIDTH, q * tw), jnp.float32),
+                init = (
+                    jnp.full((q * tws, 1), _INF, jnp.float32),
+                    jnp.full((q * tws, 1), _BIG, jnp.float32),
+                )
+                if skip_a:
+                    _, ib4 = init
+                else:
+                    _, ib4 = jax.lax.fori_loop(q_clo, q_chi, chunk_a2, init)
+
+                def chunk_c2(ci, acc):
+                    base = pl.multiple_of((cb0 + ci) * k_chunk, 128)
+                    c32 = bins_ref[0, :, pl.ds(base, k_chunk)]
+                    ids_f = c32[13:14, :]
+                    if compact:
+                        # sentinel ids on non-real slots — id match is exact
+                        indicator = (ids_f == ib4).astype(jnp.float32)
+                    else:
+                        slot = (
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (1, k_chunk), 1
+                            )
+                            + ci * k_chunk
+                        )
+                        indicator = (
+                            (ids_f == ib4) & (slot < count)
+                        ).astype(jnp.float32)
+                    return acc + _one_hot_dot(
+                        c32, indicator, (((1,), (1,)), ((), ()))
+                    )  # (32, q*tws)
+
+                acc = jax.lax.fori_loop(
+                    q_clo, 0 if skip_c else q_chi, chunk_c2,
+                    jnp.zeros((PACKED_WIDTH, q * tws), jnp.float32),
+                )
+                for j in range(q):
+                    if sub == 1:
+                        rows_ref[0, :, r0 + j, :] = (
+                            acc[:, j * tws : (j + 1) * tws]
+                        )
+                    else:
+                        rows_ref[0, :, r0 + j, s * tws : (s + 1) * tws] = (
+                            acc[:, j * tws : (j + 1) * tws]
+                        )
+                sel = colq_iota == qi
+                return jnp.where(sel, ib4, ids_mat)
+
+            ib_mat = jax.lax.fori_loop(
+                0, nq, quad_all, jnp.full((q * tws, nq), _BIG, jnp.float32)
             )
-            for j in range(q):
-                rows_ref[0, :, r0 + j, :] = acc[:, j * tw : (j + 1) * tw]
-            sel = colq_iota == qi
-            return jnp.where(sel, ib4, ids_mat)
-
-        ib_mat = jax.lax.fori_loop(
-            0, nq, quad_all, jnp.full((q * tw, nq), _BIG, jnp.float32)
-        )
-        fg = ib_mat < _BIG
-        ids_ref[0, 0] = jnp.where(fg, ib_mat.astype(jnp.int32) + 1, 0)
+            fg = ib_mat < _BIG
+            ids_out = jnp.where(fg, ib_mat.astype(jnp.int32) + 1, 0)
+            if sub == 1:
+                ids_ref[0, 0] = ids_out
+            else:
+                # ids block rows are sub-major: s*q*tws + j*tws + x'
+                ids_ref[0, 0, s * q * tws : (s + 1) * q * tws, :] = ids_out
         return
 
     # ---- phase A (x-windowed variant, xw > 0): per (chunk, quad), only
@@ -904,33 +953,37 @@ def _fwd_kernel_body(
 
 
 def _bwd_kernel_v2(
-    counts_ref, bounds_ref, idscm_ref, tids_ref, drows_ref, out_ref,
-    *, th, tw, ntx, k_chunk, q_rows, zero_tail=False,
+    counts_ref, bounds_ref, idscm_ref, tids_ref, drows_ref, out_ref, d4s_ref,
+    *, th, tw, ntx, k_chunk, q_rows, zero_tail=False, sub=1,
 ):
     return _bwd_kernel_body(
         counts_ref, bounds_ref, idscm_ref, tids_ref, drows_ref, out_ref,
+        d4s_ref,
         th=th, tw=tw, ntx=ntx, k_chunk=k_chunk, q_rows=q_rows,
-        zero_tail=zero_tail,
+        zero_tail=zero_tail, sub=sub,
     )
 
 
 def _bwd_kernel_v2_compact(
     counts_ref, off_ref, used_ref, grand_ref, bounds_ref,
-    idscm_ref, tids_ref, drows_ref, out_ref,
-    *, th, tw, ntx, k_chunk, q_rows, totc=0,
+    idscm_ref, tids_ref, drows_ref, out_ref, d4s_ref,
+    *, th, tw, ntx, k_chunk, q_rows, totc=0, sub=1,
 ):
     return _bwd_kernel_body(
         counts_ref, bounds_ref, idscm_ref, tids_ref, drows_ref, out_ref,
+        d4s_ref,
         off_ref=off_ref, used_ref=used_ref, grand_ref=grand_ref,
         th=th, tw=tw, ntx=ntx, k_chunk=k_chunk, q_rows=q_rows,
-        zero_tail=True, compact=True, totc=totc,
+        zero_tail=True, compact=True, totc=totc, sub=sub,
     )
 
 
 def _bwd_kernel_body(
     counts_ref, bounds_ref, idscm_ref, tids_ref, drows_ref, out_ref,
+    d4s_ref=None,
     off_ref=None, used_ref=None, grand_ref=None,
     *, th, tw, ntx, k_chunk, q_rows, zero_tail=False, compact=False, totc=0,
+    sub=1,
 ):
     """d_bin(32, kc) = sum_rows d_rows(32, q*tw) @ indicator(q*tw, kc).
 
@@ -954,89 +1007,141 @@ def _bwd_kernel_body(
     """
     bi = pl.program_id(0)
     t = pl.program_id(1)
-    count = counts_ref[t]
-    if compact:
-        cb0 = off_ref[t]
-        used = used_ref[t]
-    else:
-        cb0 = 0
-        k_max = tids_ref.shape[2]
-        n_chunks = k_max // k_chunk
-        used = jnp.minimum((count + k_chunk - 1) // k_chunk, n_chunks)
     y0 = (t // ntx) * th
     q = q_rows
+    tws = tw // sub
 
     # NB: chunks >= used are left unwritten — every slot they hold is >=
     # count, and the inverted-bin reduction only ever gathers real slots
     # (< count), so their contents are never read.
     nq = th // q
-    ids_mat = idscm_ref[0, 0]  # (q*tw, nq) quad-major (see _fwd_kernel_v2)
     colq_iota = jax.lax.broadcasted_iota(jnp.int32, (1, nq), 1)
+    if not compact:
+        k_sub = tids_ref.shape[2]  # per-sub-tile K (tids block (sub, 8, k))
+        n_chunks = k_sub // k_chunk
 
-    def ids_colq(qi):
-        return jnp.sum(
-            jnp.where(colq_iota == qi, ids_mat, 0), axis=1, keepdims=True
-        )  # (q*tw, 1)
-
-    def chunk_body(ci, _):
-        base = pl.multiple_of((cb0 + ci) * k_chunk, 128)
-        ids_f = tids_ref[0, 0:1, pl.ds(base, k_chunk)]  # (1, kc)
-        tri_id = ids_f.astype(jnp.int32) + 1
-        if not compact:
-            slot = (
-                jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1)
-                + ci * k_chunk
-            )
-            slot_ok = slot < count
-
-        def quad_body(qi, acc):
-            r0 = qi * q
-            ids4 = ids_colq(qi)  # (q*tw, 1)
-            if compact:
-                # sentinel ids on non-real slots (see the fwd chunk_c
-                # comment): the id match alone is exact
-                indicator = (ids4 == tri_id).astype(jnp.float32)
-            else:
-                indicator = ((ids4 == tri_id) & slot_ok).astype(jnp.float32)
-            d4 = jnp.concatenate(
-                [drows_ref[0, :, r0 + j, :] for j in range(q)], axis=1
-            )  # (32, q*tw)
-            # each d_bin column sums the (few) pixels the triangle won;
-            # single-pass bf16 would round every d_rows contribution to
-            # 8 mantissa bits — exact by default, see _one_hot_dot
-            return acc + _one_hot_dot(
-                d4, indicator, (((1,), (0,)), ((), ()))
-            )  # (32, kc)
-
+    # sub-tile loop (static unroll; see the fwd kernel): per-sub-tile bins
+    # with the full 128-wide d_rows/ids blocks; sub == 1 is the plain path
+    for s in range(sub):
+        tsub = t * sub + s
+        count = counts_ref[tsub]
         if compact:
-            v = bounds_ref[bi * totc + cb0 + ci]
+            cb0 = off_ref[tsub]
+            used = used_ref[tsub]
         else:
-            v = bounds_ref[(bi * pl.num_programs(1) + t) * n_chunks + ci]
-        r_lo = jnp.clip(v // 1024 - 1 - y0, 0, th)
-        r_hi = jnp.clip(v % 1024 - 1 - y0 + 1, 0, th)
-        acc = jax.lax.fori_loop(
-            r_lo // q, (r_hi + q - 1) // q, quad_body,
-            jnp.zeros((PACKED_WIDTH, k_chunk), jnp.float32),
-        )
-        out_ref[0, :, pl.ds(base, k_chunk)] = acc
-        return 0
+            cb0 = s * n_chunks  # chunk units within the (sub*k) block
+            used = jnp.minimum((count + k_chunk - 1) // k_chunk, n_chunks)
+        if sub == 1:
+            ids_mat = idscm_ref[0, 0]  # (q*tw, nq) quad-major
+        else:
+            # ids block rows are sub-major: s*q*tws + j*tws + x'
+            ids_mat = idscm_ref[0, 0, s * q * tws : (s + 1) * q * tws, :]
 
-    jax.lax.fori_loop(0, used, chunk_body, 0)
+        def ids_colq(qi, ids_mat=ids_mat):
+            return jnp.sum(
+                jnp.where(colq_iota == qi, ids_mat, 0), axis=1, keepdims=True
+            )  # (q*tws, 1)
 
-    if zero_tail and not compact:
-        # the binned path DIFFERENTIATES through this output (it is the
-        # packed table's cotangent): unwritten tail chunks would inject
-        # uninitialized VMEM (possibly NaN bit patterns) into the packing
-        # backward.  The inverted-bin path never reads them, so it skips
-        # the fill.
-        def tail_body(ci, _):
-            base = pl.multiple_of(ci * k_chunk, 128)
-            out_ref[0, :, pl.ds(base, k_chunk)] = jnp.zeros(
-                (PACKED_WIDTH, k_chunk), jnp.float32
+        # hoist each quad's d_rows window out of the chunk loop: the (32,
+        # q*tws) concat is loop-invariant in ci (the chunk-outer iteration
+        # rebuilt it per (chunk, quad) visit — ~6x per quad at bench
+        # occupancy); built once per (tile, quad) into VMEM scratch and
+        # re-read per visit with a dynamic sublane offset
+        @pl.when(used > 0)
+        def _build_d4():
+            for qi_s in range(nq):
+                r0s = qi_s * q
+                if sub == 1:
+                    d4s_ref[
+                        qi_s * PACKED_WIDTH : (qi_s + 1) * PACKED_WIDTH, :
+                    ] = jnp.concatenate(
+                        [drows_ref[0, :, r0s + j, :] for j in range(q)],
+                        axis=1,
+                    )
+                else:
+                    d4s_ref[
+                        qi_s * PACKED_WIDTH : (qi_s + 1) * PACKED_WIDTH,
+                        : q * tws,
+                    ] = jnp.concatenate(
+                        [
+                            drows_ref[
+                                0, :, r0s + j, s * tws : (s + 1) * tws
+                            ]
+                            for j in range(q)
+                        ],
+                        axis=1,
+                    )
+
+        def chunk_body(ci, _, count=count, cb0=cb0, ids_colq=ids_colq,
+                       tsub=tsub, s=s):
+            base = pl.multiple_of((cb0 + ci) * k_chunk, 128)
+            if compact:
+                ids_f = tids_ref[0, 0:1, pl.ds(base, k_chunk)]  # (1, kc)
+            else:
+                ids_f = tids_ref[s, 0:1, pl.ds(ci * k_chunk, k_chunk)]
+            tri_id = ids_f.astype(jnp.int32) + 1
+            if not compact:
+                slot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (1, k_chunk), 1)
+                    + ci * k_chunk
+                )
+                slot_ok = slot < count
+
+            def quad_body(qi, acc):
+                r0 = qi * q
+                ids4 = ids_colq(qi)  # (q*tws, 1)
+                if compact:
+                    # sentinel ids on non-real slots (see the fwd chunk_c
+                    # comment): the id match alone is exact
+                    indicator = (ids4 == tri_id).astype(jnp.float32)
+                else:
+                    indicator = (
+                        (ids4 == tri_id) & slot_ok
+                    ).astype(jnp.float32)
+                d4 = d4s_ref[
+                    pl.ds(
+                        pl.multiple_of(qi * PACKED_WIDTH, PACKED_WIDTH),
+                        PACKED_WIDTH,
+                    ),
+                    pl.ds(0, q * tws),
+                ]  # (32, q*tws), hoisted — see _build_d4
+                # each d_bin column sums the (few) pixels the triangle won;
+                # single-pass bf16 would round every d_rows contribution to
+                # 8 mantissa bits — exact by default, see _one_hot_dot
+                return acc + _one_hot_dot(
+                    d4, indicator, (((1,), (0,)), ((), ()))
+                )  # (32, kc)
+
+            if compact:
+                v = bounds_ref[bi * totc + cb0 + ci]
+            else:
+                n_sub = pl.num_programs(1) * sub
+                v = bounds_ref[(bi * n_sub + tsub) * n_chunks + ci]
+            r_lo = jnp.clip(v // 1024 - 1 - y0, 0, th)
+            r_hi = jnp.clip(v % 1024 - 1 - y0 + 1, 0, th)
+            acc = jax.lax.fori_loop(
+                r_lo // q, (r_hi + q - 1) // q, quad_body,
+                jnp.zeros((PACKED_WIDTH, k_chunk), jnp.float32),
             )
+            out_ref[0, :, pl.ds(base, k_chunk)] = acc
             return 0
 
-        jax.lax.fori_loop(used, n_chunks, tail_body, 0)
+        jax.lax.fori_loop(0, used, chunk_body, 0)
+
+        if zero_tail and not compact:
+            # the binned path DIFFERENTIATES through this output (it is the
+            # packed table's cotangent): unwritten tail chunks would inject
+            # uninitialized VMEM (possibly NaN bit patterns) into the
+            # packing backward.  The inverted-bin path never reads them, so
+            # it skips the fill.
+            def tail_body(ci, _, cb0=cb0):
+                base = pl.multiple_of((cb0 + ci) * k_chunk, 128)
+                out_ref[0, :, pl.ds(base, k_chunk)] = jnp.zeros(
+                    (PACKED_WIDTH, k_chunk), jnp.float32
+                )
+                return 0
+
+            jax.lax.fori_loop(used, n_chunks, tail_body, 0)
 
     if compact:
         # zero the global tail [grand, totc) once, from the last tile's
@@ -1109,15 +1214,19 @@ def _untangle_ids(ids_cm, resolution, padded: bool = False, q: int = 1,
 
     The fwd kernel writes each tile as (q*tw, th//q) quad-major: lane
     column qi holds rows [qi*q, qi*q + q) stacked along sublane groups.
-    Array shape (B, nty, ntx*q*tw, th//q); q=1 is plain column-major."""
+    Array shape (B, nty, ntx*q*tw, th//q); q=1 is plain column-major.
+    tw < 128 (sub-tile binning) adds a sub-major level: block sublane
+    index = s*q*tws + j*tws + x' (see _fwd_kernel_body)."""
     b, nty, wq, nq = ids_cm.shape
     if tw is None:
         tw = wq // q  # single-x-tile default
-    ntx = wq // (q * tw)
-    # (b, ty, tx, j, x, qi) -> rows (ty, qi, j), cols (tx, x)
-    ids = ids_cm.reshape(b, nty, ntx, q, tw, nq)
-    ids = jnp.transpose(ids, (0, 1, 5, 3, 2, 4))
-    ids = ids.reshape(b, nty * nq * q, ntx * tw)
+    tw_s, sub = _sub_split((0, tw))
+    tws = tw_s // sub
+    ntx = wq // (q * tw_s)
+    # (b, ty, tx, s, j, x', qi) -> rows (ty, qi, j), cols (tx, s, x')
+    ids = ids_cm.reshape(b, nty, ntx, sub, q, tws, nq)
+    ids = jnp.transpose(ids, (0, 1, 6, 4, 2, 3, 5))
+    ids = ids.reshape(b, nty * nq * q, ntx * sub * tws)
     if padded:
         return ids
     return ids[:, : resolution[0], : resolution[1]]
@@ -1243,6 +1352,30 @@ def _pick_xwin(tw: int) -> int:
     return max(8, (xw // 8) * 8)
 
 
+def _sub_split(tile_hw):
+    """(th, tw_bin) -> (tw_super, sub).
+
+    The kernels always run 128-wide super-tiles; tw_bin < 128 selects
+    sub-tile BINNING (sub = 128 // tw_bin sub-tiles statically unrolled per
+    kernel instance — see _fwd_kernel_body).  Output arrays stay padded to
+    the super width, so nothing downstream changes shape."""
+    th, tw = tile_hw
+    if tw >= 128:
+        return tw, 1
+    if 128 % tw != 0:
+        raise ValueError(f"sub-tile width must divide 128 (got {tw})")
+    return 128, 128 // tw
+
+
+def padded_hw(resolution, tile_hw):
+    """Tile-rounded (Hp, Wp) of the raster outputs — the super-tile grid
+    (width rounds to 128 even when binning uses narrower sub-tiles)."""
+    h, w = resolution
+    th, _ = tile_hw
+    tw, _ = _sub_split(tile_hw)
+    return -(-h // th) * th, -(-w // tw) * tw
+
+
 def _pack_bounds(rlo, rhi, h):
     """(B, nt, nc) bounds -> flat (B*nt*nc,) int32, (rlo+1)*1024 + (rhi+1).
 
@@ -1270,9 +1403,15 @@ def _fwd_from_bins(bins, tile_counts, resolution, tile_hw, interpret,
     b, width, ntk = bins.shape
     assert width == PACKED_WIDTH
     h, w = resolution
-    th, tw = tile_hw
-    nty, ntx = -(-h // th), -(-w // tw)
-    num_tiles = tile_counts.shape[0]
+    th, tw_bin = tile_hw
+    tw, sub = _sub_split(tile_hw)
+    nty, ntx = -(-h // th), -(-w // tw)  # SUPER-tile grid
+    num_tiles = tile_counts.shape[0]  # sub-tile count (= nty*ntx*sub)
+    if num_tiles != nty * ntx * sub:
+        raise ValueError(
+            f"tile_counts has {num_tiles} tiles; expected "
+            f"{nty * ntx * sub} for {resolution} at tile_hw {tile_hw}"
+        )
     k = ntk // num_tiles
     k_chunk = _pick_chunk(k)
 
@@ -1287,11 +1426,11 @@ def _fwd_from_bins(bins, tile_counts, resolution, tile_hw, interpret,
             f"(got {k // k_chunk} = K {k} / k_chunk {k_chunk}); raise the "
             f"radix in the qwin packing or lower max_tris_per_tile"
         )
-    qclo, qchi = _quad_windows(rlo, rhi, th, ntx, q_rows, h)
+    qclo, qchi = _quad_windows(rlo, rhi, th, ntx * sub, q_rows, h)
     qwin = (qclo * 256 + qchi).reshape(-1).astype(jnp.int32)
     import os
 
-    xw = _pick_xwin(tw)
+    xw = _pick_xwin(tw) if sub == 1 else 0
     if xw > 0:
         clo, chi = _chunk_col_bounds(
             bins, tile_counts, k_chunk, w, tw, ntx, gated
@@ -1312,14 +1451,15 @@ def _fwd_from_bins(bins, tile_counts, resolution, tile_hw, interpret,
             os.environ.get("DD_EVAL_HOIST", "0") == "1" and not _bf16
         ),
         lean_eval=os.environ.get("DD_EVAL_LEAN", "1") == "1",
+        sub=sub,
     )
     nq = th // q_rows
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(b, num_tiles),
+        grid=(b, num_tiles // sub),
         in_specs=[
             pl.BlockSpec(
-                (1, PACKED_WIDTH, k),
+                (1, PACKED_WIDTH, sub * k),
                 lambda bi, ti, *_: (bi, 0, ti),
                 memory_space=pltpu.VMEM,
             ),
@@ -1378,8 +1518,9 @@ def _dbin_flat(d_rows, ids_cm, tids, tile_counts, bounds, num_tiles, k,
     broadcast so a (1, kc) row slice is layout-legal)."""
     b = d_rows.shape[0]
     h, w = resolution
-    th, tw = tile_hw
-    nty, ntx = -(-h // th), -(-w // tw)
+    th, tw_bin = tile_hw
+    tw, sub = _sub_split(tile_hw)
+    nty, ntx = -(-h // th), -(-w // tw)  # SUPER-tile grid
     k_chunk = _pick_chunk(k)
 
     if padded:
@@ -1392,11 +1533,11 @@ def _dbin_flat(d_rows, ids_cm, tids, tile_counts, bounds, num_tiles, k,
     q_rows = _pick_qrows(th)
     kernel = functools.partial(
         _bwd_kernel_v2, th=th, tw=tw, ntx=ntx, k_chunk=k_chunk,
-        q_rows=q_rows, zero_tail=zero_tail,
+        q_rows=q_rows, zero_tail=zero_tail, sub=sub,
     )
     bwd_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(b, num_tiles),
+        grid=(b, num_tiles // sub),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, q_rows * tw, th // q_rows),
@@ -1404,7 +1545,7 @@ def _dbin_flat(d_rows, ids_cm, tids, tile_counts, bounds, num_tiles, k,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 8, k), lambda bi, ti, *_: (ti, 0, 0),
+                (sub, 8, k), lambda bi, ti, *_: (ti, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -1414,9 +1555,15 @@ def _dbin_flat(d_rows, ids_cm, tids, tile_counts, bounds, num_tiles, k,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, PACKED_WIDTH, k), lambda bi, ti, *_: (bi, 0, ti),
+            (1, PACKED_WIDTH, sub * k), lambda bi, ti, *_: (bi, 0, ti),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[
+            pltpu.VMEM(
+                ((th // q_rows) * PACKED_WIDTH, q_rows * (tw // sub)),
+                jnp.float32,
+            ),
+        ],
     )
     # d_bin comes out directly in the flat (B, 32, num_tiles*K) layout
     return pl.pallas_call(
@@ -1580,9 +1727,15 @@ def _fwd_from_bins_compact(bins_c, tile_counts, off_c, used, resolution,
     b, width, tot = bins_c.shape
     assert width == PACKED_WIDTH
     h, w = resolution
-    th, tw = tile_hw
-    nty, ntx = -(-h // th), -(-w // tw)
-    num_tiles = tile_counts.shape[0]
+    th, tw_bin = tile_hw
+    tw, sub = _sub_split(tile_hw)
+    nty, ntx = -(-h // th), -(-w // tw)  # SUPER-tile grid
+    num_tiles = tile_counts.shape[0]  # sub-tile count
+    if num_tiles != nty * ntx * sub:
+        raise ValueError(
+            f"tile_counts has {num_tiles} tiles; expected "
+            f"{nty * ntx * sub} for {resolution} at tile_hw {tile_hw}"
+        )
     k_chunk = _pick_chunk(tot)
     totc = tot // k_chunk
     q_rows = _pick_qrows(th)
@@ -1601,7 +1754,7 @@ def _fwd_from_bins_compact(bins_c, tile_counts, off_c, used, resolution,
     in_tile = ci[None, :] < used[:, None]
     rlo_d = jnp.where(in_tile[None], rlo_f[:, didx], h)
     rhi_d = jnp.where(in_tile[None], rhi_f[:, didx], -1)
-    qclo, qchi = _quad_windows(rlo_d, rhi_d, th, ntx, q_rows, h)
+    qclo, qchi = _quad_windows(rlo_d, rhi_d, th, ntx * sub, q_rows, h)
     if ncmax > 255:
         raise ValueError(
             f"packed quad windows support up to 255 chunks per tile "
@@ -1623,11 +1776,11 @@ def _fwd_from_bins_compact(bins_c, tile_counts, off_c, used, resolution,
             os.environ.get("DD_EVAL_HOIST", "0") == "1" and not _bf16
         ),
         lean_eval=os.environ.get("DD_EVAL_LEAN", "1") == "1",
-        totc=totc,
+        totc=totc, sub=sub,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
-        grid=(b, num_tiles),
+        grid=(b, num_tiles // sub),
         in_specs=[
             pl.BlockSpec(
                 (1, PACKED_WIDTH, tot),
@@ -1728,8 +1881,9 @@ def _vjp_bwd_compact(resolution, tile_hw, ncmax, interpret, padded, res,
     b = d_rows.shape[0]
     tot = tids.shape[2]
     h, w = resolution
-    th, tw = tile_hw
-    nty, ntx = -(-h // th), -(-w // tw)
+    th, tw_bin = tile_hw
+    tw, sub = _sub_split(tile_hw)
+    nty, ntx = -(-h // th), -(-w // tw)  # SUPER-tile grid
     num_tiles = tile_counts.shape[0]
     k_chunk = _pick_chunk(tot)
     totc = tot // k_chunk
@@ -1745,11 +1899,11 @@ def _vjp_bwd_compact(resolution, tile_hw, ncmax, interpret, padded, res,
 
     kernel = functools.partial(
         _bwd_kernel_v2_compact, th=th, tw=tw, ntx=ntx, k_chunk=k_chunk,
-        q_rows=q_rows, totc=totc,
+        q_rows=q_rows, totc=totc, sub=sub,
     )
     bwd_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(b, num_tiles),
+        grid=(b, num_tiles // sub),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, q_rows * tw, th // q_rows),
@@ -1770,6 +1924,12 @@ def _vjp_bwd_compact(resolution, tile_hw, ncmax, interpret, padded, res,
             (1, PACKED_WIDTH, tot), lambda bi, ti, *_: (bi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[
+            pltpu.VMEM(
+                ((th // q_rows) * PACKED_WIDTH, q_rows * (tw // sub)),
+                jnp.float32,
+            ),
+        ],
     )
     d_bins = pl.pallas_call(
         kernel,
