@@ -319,6 +319,7 @@ def _fwd_kernel_body(
     if _qouter:
         skip_a = _os0.environ.get("DD_SKIP_A") == "1"  # profiling only
         skip_c = _os0.environ.get("DD_SKIP_C") == "1"  # profiling only
+        _qpair = _os0.environ.get("DD_QPAIR", "0") == "1"
 
         # sub-tile loop (static unroll): with tile width tw_bin = tw//sub
         # the bins/counts/windows tables are per SUB-tile (tsub = t*sub + s,
@@ -335,6 +336,9 @@ def _fwd_kernel_body(
         if not compact:
             k_sub = bins_ref.shape[2] // sub  # per-sub-tile K
             n_chunks_sub = k_sub // k_chunk
+            cap_c = sub * n_chunks_sub  # block-local chunk cap (DD_QPAIR)
+        else:
+            cap_c = totc  # global chunk cap (DD_QPAIR clamp)
 
         for s in range(sub):
             tsub = t * sub + s
@@ -355,8 +359,8 @@ def _fwd_kernel_body(
                 rows_i = jrow_s + (y0 + r0)
                 yq = (2.0 * rows_i.astype(jnp.float32) + 1.0) / h - 1.0
 
-                def chunk_a2(ci, carry):
-                    zb, ib = carry  # (q*tws, 1) registers
+                def eval_chunk(ci):
+                    """(z_c, id_c) winner column of chunk ci for this quad."""
                     base = pl.multiple_of((cb0 + ci) * k_chunk, 128)
                     c32 = bins_ref[0, :, pl.ds(base, k_chunk)]  # (32, kc)
 
@@ -402,6 +406,11 @@ def _fwd_kernel_body(
                             jnp.where(zm == z_c, ids_f, _BIG),
                             axis=1, keepdims=True,
                         )
+                    return z_c, id_c
+
+                def merge(zb, ib, z_c, id_c):
+                    # min-z winner, min-id on exact z ties — associative
+                    # and commutative, so chunk order never matters
                     better = z_c < zb
                     same = (z_c == zb) & (z_c < _INF)
                     return (
@@ -412,12 +421,37 @@ def _fwd_kernel_body(
                         ),
                     )
 
+                def chunk_a2(ci, carry):
+                    z_c, id_c = eval_chunk(ci)
+                    return merge(*carry, z_c, id_c)
+
+                def chunk_a2_pair(i, carry):
+                    # two independent eval chains per trip: halves the fori
+                    # trip count (Mosaic cannot software-pipeline across
+                    # trips) and doubles the issue-level parallelism.  The
+                    # second chunk is clamped into the table (reads a
+                    # neighbor's chunk) and its result poisoned when the
+                    # window length is odd.
+                    c0i = q_clo + 2 * i
+                    c1i = c0i + 1
+                    z0, id0 = eval_chunk(c0i)
+                    z1, id1 = eval_chunk(jnp.minimum(c1i, cap_c - 1 - cb0))
+                    ok1 = c1i < q_chi
+                    z1 = jnp.where(ok1, z1, _INF)
+                    id1 = jnp.where(ok1, id1, _BIG)
+                    zb, ib = merge(*carry, z0, id0)
+                    return merge(zb, ib, z1, id1)
+
                 init = (
                     jnp.full((q * tws, 1), _INF, jnp.float32),
                     jnp.full((q * tws, 1), _BIG, jnp.float32),
                 )
                 if skip_a:
                     _, ib4 = init
+                elif _qpair:
+                    _, ib4 = jax.lax.fori_loop(
+                        0, (q_chi - q_clo + 1) // 2, chunk_a2_pair, init
+                    )
                 else:
                     _, ib4 = jax.lax.fori_loop(q_clo, q_chi, chunk_a2, init)
 
