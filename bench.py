@@ -47,6 +47,8 @@ def build_problem():
     import os as _os
 
     mesh_path = Path("/root/reference/data/example/mesh/AlphabetSoup.ply")
+    if _os.environ.get("DD_MESH", "") == "icosphere":
+        mesh_path = Path("/nonexistent")  # force the closed synthetic mesh
     if mesh_path.exists():
         m = load_mesh(mesh_path, scale=0.01, vertex_pad=128, triangle_pad=128)
         pos = jnp.asarray(m.pos)

@@ -304,10 +304,14 @@ class DiffDope:
         """tpu.cull_backfaces: auto | true | false (default auto).
 
         auto enables backface culling only when the mesh is closed and
-        consistently orientable (mesh.orient_faces_consistently) — exactly
-        the meshes for which culling provably never changes the rendered
-        image (the depth winner along any ray is the entering, front-facing
-        crossing).  Open scan meshes (e.g. the reference example's
+        consistently orientable (mesh.orient_faces_consistently) — the
+        meshes for which the depth winner along any ray is the entering,
+        front-facing crossing, so culling preserves the rendered image
+        except at numerically-degenerate grazing pixels (silhouette pixels
+        whose front face is near edge-on: the unculled winner there already
+        depends on fp rounding of a ~0 determinant; measured 0.25% of
+        foreground pixels on a dense 20480-tri sphere, 0 on coarser
+        meshes).  Open scan meshes (e.g. the reference example's
         AlphabetSoup: 57 components, 2548 boundary edges, overlapping
         double-layered patches) keep the reference's no-culling nvdiffrast
         semantics (diffdope.py:198-200); forcing `true` there is a measured

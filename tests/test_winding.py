@@ -83,7 +83,13 @@ class TestOrientFaces:
 class TestCullEquality:
     def test_closed_mesh_cull_is_exact(self):
         """Culled and unculled renders are bit-identical for a watertight
-        consistently-wound mesh (the auto-cull eligibility contract)."""
+        consistently-wound mesh (the auto-cull eligibility contract).
+
+        Exactness caveat quantified in DiffDope._resolve_cull: at very
+        high triangle density, silhouette pixels whose front face is near
+        edge-on (det ~ 0) can flip winners — 0.25% of fg pixels on an
+        icosphere(5); zero here (icosphere(2) has no near-tangent
+        faces at this resolution)."""
         res = (32, 128)
         h, w = res
         f = 40.0
