@@ -355,6 +355,12 @@ def orient_faces_consistently(pos: np.ndarray, faces: np.ndarray):
     if t == 0:
         return faces.copy(), info
 
+    from diffdope_tpu import native
+
+    native_out = native.orient_faces(np.asarray(pos, np.float32), faces)
+    if native_out is not None:
+        return native_out
+
     # undirected edge -> up to 2 (face, direction) users
     edge_map: dict = {}
     manifold = True

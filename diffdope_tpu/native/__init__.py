@@ -66,6 +66,12 @@ def get_library() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
             ]
+            lib.dd_orient_faces.restype = ctypes.c_int
+            lib.dd_orient_faces.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
             _LIB = lib
     return _LIB
 
@@ -97,6 +103,31 @@ def vertex_normals(pos: np.ndarray, faces: np.ndarray) -> Optional[np.ndarray]:
         out.ctypes.data,
     )
     return out if rc == 0 else None
+
+
+def orient_faces(pos: np.ndarray, faces: np.ndarray) -> Optional[tuple]:
+    """Consistent-winding repair (mesh.orient_faces_consistently contract).
+
+    Returns (faces_out, info_dict) or None if the native library is
+    unavailable."""
+    lib = get_library()
+    if lib is None:
+        return None
+    pos = np.ascontiguousarray(pos, dtype=np.float32)
+    faces = np.ascontiguousarray(faces, dtype=np.int32)
+    out = np.empty_like(faces)
+    info = np.zeros(3, np.int64)
+    rc = lib.dd_orient_faces(
+        pos.ctypes.data, pos.shape[0], faces.ctypes.data, faces.shape[0],
+        out.ctypes.data, info.ctypes.data,
+    )
+    if rc != 0:
+        return None
+    return out, {
+        "closed": bool(info[0]),
+        "orientable": bool(info[1]),
+        "n_flipped": int(info[2]),
+    }
 
 
 def parse_ply_f32_body(

@@ -80,6 +80,37 @@ class TestOrientFaces:
         assert not (m.is_closed or m.is_oriented)
 
 
+class TestNativeParity:
+    def test_native_matches_python(self):
+        """native.orient_faces (C++ BFS) returns exactly the python path's
+        faces and flags — output is traversal-order independent because an
+        orientable component's per-face flip state relative to its root is
+        unique."""
+        import pytest
+
+        from diffdope_tpu import native
+        from diffdope_tpu import mesh as mesh_mod
+
+        verts, faces = icosphere(3)
+        rng = np.random.default_rng(11)
+        flip = rng.random(len(faces)) < 0.4
+        scrambled = faces.copy()
+        scrambled[flip] = scrambled[flip][:, [0, 2, 1]]
+
+        native_out = native.orient_faces(verts, scrambled)
+        if native_out is None:
+            pytest.skip("native toolchain unavailable")
+        fn, info_n = native_out
+        orig = native.orient_faces
+        native.orient_faces = lambda *a: None  # force the python path
+        try:
+            fp, info_p = mesh_mod.orient_faces_consistently(verts, scrambled)
+        finally:
+            native.orient_faces = orig
+        assert info_n == info_p
+        np.testing.assert_array_equal(fn, fp)
+
+
 class TestCullEquality:
     def test_closed_mesh_cull_is_exact(self):
         """Culled and unculled renders are bit-identical for a watertight
