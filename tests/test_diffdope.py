@@ -131,6 +131,31 @@ class TestDiffDope:
         np.testing.assert_allclose(np.asarray(ddope.learning_rates), lrs_before)
 
 
+class TestCullPolicy:
+    def test_resolve_cull_auto_and_overrides(self):
+        """tpu.cull_backfaces: auto follows the mesh winding diagnosis;
+        true/false force it (DiffDope._resolve_cull)."""
+        d = _make_ddope()
+        mesh = d.object3d.mesh
+        # the fixture builds Mesh directly (flags default False) -> auto off
+        assert d._resolve_cull() is False
+        # closed + orientable (what load_mesh diagnoses) -> auto culls
+        mesh.is_closed = True
+        mesh.is_oriented = True
+        assert d._resolve_cull() is True
+        # open/unoriented mesh -> auto off
+        mesh.is_closed = False
+        assert d._resolve_cull() is False
+        # explicit overrides win either way
+        d.cfg["tpu"]["cull_backfaces"] = "true"
+        assert d._resolve_cull() is True
+        d.cfg["tpu"]["cull_backfaces"] = False
+        assert d._resolve_cull() is False
+        d.cfg["tpu"]["cull_backfaces"] = "auto"
+        mesh.is_closed = True
+        assert d._resolve_cull() is True
+
+
 class TestViz:
     def test_find_crop(self):
         from diffdope_tpu.viz import find_crop
