@@ -464,36 +464,58 @@ def bin_triangles_planar(
     )
 
     sentinel = jnp.int32(t_count)
-    vals = jnp.where(mask, jnp.arange(t_count, dtype=jnp.int32)[None, :], sentinel)
     k = min(max_tris_per_tile, t_count)
-    neg_topk, _ = jax.lax.top_k(-vals, k)
-    idx = -neg_topk
     counts_full = jnp.sum(mask, axis=-1).astype(jnp.int32)
     counts = jnp.minimum(counts_full, k)
     overflow = jnp.sum(jnp.maximum(counts_full - k, 0))
-    if sort_by_y:
-        # order slots by the triangle's min screen y (behind-camera first —
-        # they are row-unbounded; sentinels stay last).  DD_SORT_BAND=N
-        # sorts by (y-band of N rows, then min screen x) instead, giving
-        # chunks x-locality so the raster kernel's x-subwindow gating
-        # (DD_XWIN) can cut evaluated columns; pure-y sort gates rows
-        # tightest, the banded sort trades a little row range for column
-        # range.  All key components stay integers < 2^24 — exact in f32.
-        import os
+    import os
 
-        band = int(os.environ.get("DD_SORT_BAND", "0"))
-        if band > 0:
-            band_i = jnp.floor(py_min / band)
-            x_i = jnp.clip(jnp.floor(px_min), -w, 2 * w) + w
-            key_t = jnp.where(behind, -jnp.inf, band_i * (4 * w) + x_i)
-        else:
-            key_t = jnp.where(behind, -jnp.inf, py_min)  # (T,)
-        keys = jnp.where(
-            idx < t_count,
-            jnp.take(key_t, jnp.minimum(idx, t_count - 1)),
-            jnp.inf,
+    band = int(os.environ.get("DD_SORT_BAND", "0"))
+    if sort_by_y and band == 0 and (h + 3) * t_count < 2 ** 31:
+        # fused ordering: pack (pixel-row rank, triangle index) into ONE
+        # int32 so a single top_k yields the y-sorted bin directly — no
+        # separate key gather + sort_key_val pass (measured ~1.3 ms/step at
+        # bench scale).  Ranks: 0 = behind-camera (row-unbounded, first),
+        # 1..h+2 = clip(floor(py_min), -1, h) + 2, sentinel rank = h+3.
+        # The kernels' row gating reads the packed y-bound LANES, not this
+        # order, so integer-pixel rank granularity gates identically to the
+        # old exact-float ordering.  On overflow the drop set becomes the
+        # highest-y triangles instead of the highest-index ones (still
+        # counted by `overflow`).
+        rank = jnp.clip(jnp.floor(py_min), -1, h).astype(jnp.int32) + 2
+        rank = jnp.where(behind, 0, rank)  # (T,)
+        comp = rank * t_count + jnp.arange(t_count, dtype=jnp.int32)[None, :]
+        comp = jnp.where(mask, comp, (h + 3) * t_count)
+        neg_topk, _ = jax.lax.top_k(-comp, k)
+        vals = -neg_topk
+        idx = jnp.where(vals >= (h + 3) * t_count, sentinel, vals % t_count)
+    else:
+        vals = jnp.where(
+            mask, jnp.arange(t_count, dtype=jnp.int32)[None, :], sentinel
         )
-        _, idx = jax.lax.sort_key_val(keys, idx, dimension=1)
+        neg_topk, _ = jax.lax.top_k(-vals, k)
+        idx = -neg_topk
+        if sort_by_y:
+            # order slots by the triangle's min screen y (behind-camera
+            # first — they are row-unbounded; sentinels stay last).
+            # DD_SORT_BAND=N sorts by (y-band of N rows, then min screen x)
+            # instead, giving chunks x-locality so the raster kernel's
+            # x-subwindow gating (DD_XWIN) can cut evaluated columns; pure-y
+            # sort gates rows tightest, the banded sort trades a little row
+            # range for column range.  All key components stay integers
+            # < 2^24 — exact in f32.
+            if band > 0:
+                band_i = jnp.floor(py_min / band)
+                x_i = jnp.clip(jnp.floor(px_min), -w, 2 * w) + w
+                key_t = jnp.where(behind, -jnp.inf, band_i * (4 * w) + x_i)
+            else:
+                key_t = jnp.where(behind, -jnp.inf, py_min)  # (T,)
+            keys = jnp.where(
+                idx < t_count,
+                jnp.take(key_t, jnp.minimum(idx, t_count - 1)),
+                jnp.inf,
+            )
+            _, idx = jax.lax.sort_key_val(keys, idx, dimension=1)
     # pad K to a multiple of the kernel chunk (sentinel columns, never read)
     k_pad = -(-k // 128) * 128
     if k_pad != k:
