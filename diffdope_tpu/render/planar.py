@@ -182,6 +182,16 @@ def packed_planar(
         lanes.append(jnp.zeros_like(det))
     lanes.extend([xlo, xhi, ylo, yhi])
     lanes = [jnp.broadcast_to(p, (b, t)) for p in lanes]
+    import os
+
+    if os.environ.get("DD_PACK_MAJOR", "0") == "1":
+        # measured-flat experiment (6.88 vs 6.87 s, kept as a flag): stack
+        # along a LEADING axis then transpose, hoping to lift the lane
+        # fusions from the (B, 1, T) T(1,128) layout (1/8 sublane
+        # utilization, ~2.2 ms/step) the minor-axis concatenate forces.
+        # XLA's layout assignment propagates the packed layout into the
+        # transpose either way — no net win on v5e.
+        return jnp.transpose(jnp.stack(lanes, axis=0), (1, 0, 2)), det
     return jnp.stack(lanes, axis=1), det  # (B, 32, T)
 
 
