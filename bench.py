@@ -9,6 +9,7 @@ Prints exactly ONE JSON line on stdout.
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -18,9 +19,32 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import numpy as np
 
 
-BATCH = 64
-STEPS = 100  # nb_iterations=99 -> 100 optimization steps
-RES = (400, 400)
+# The headline protocol is fixed (BASELINE.md); the env overrides exist so
+# the SAME script can prove flags (e.g. --mesh-axis on the virtual CPU
+# mesh) at reduced scale without a second code path.
+BATCH = int(os.environ.get("DD_BATCH", "64"))
+STEPS = int(os.environ.get("DD_STEPS", "100"))  # nb_iterations=99 -> 100 steps
+RES = tuple(
+    int(x) for x in os.environ.get("DD_RES", "400x400").split("x")
+)
+
+
+def _mesh_axis() -> int:
+    """--mesh-axis N / DD_MESH_AXIS=N: shard the hypothesis batch over the
+    first N devices (jax.shard_map, diffdope_tpu/parallel.py).  N=1 (the
+    default) is the plain single-chip bench; on a pod slice the SAME
+    protocol produces the multi-chip headline number with no other change.
+    Proven on the 8-device virtual CPU mesh (docs/ROADMAP.md)."""
+    import os
+
+    n = int(os.environ.get("DD_MESH_AXIS", "1"))
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--mesh-axis" and i + 1 < len(argv):
+            n = int(argv[i + 1])
+        elif a.startswith("--mesh-axis="):
+            n = int(a.split("=", 1)[1])
+    return n
 
 
 def log(*args):
@@ -312,12 +336,31 @@ def main():
     # ~0.9s of tunnel dispatch overhead
     segment = int(os.environ.get("DD_SEGMENT", "100"))
 
-    def run(p):
-        return refine_segmented(
-            p, render_fn, loss_fns, gt, lrs, weights,
-            nb_iterations=STEPS - 1, segment_steps=segment,
-            jit_refine=jit_refine,
-        )
+    mesh_axis = _mesh_axis()
+    if mesh_axis > 1:
+        from diffdope_tpu.parallel import hypothesis_mesh, refine_sharded
+
+        if len(jax.devices()) < mesh_axis:
+            log(f"mesh-axis {mesh_axis} > {len(jax.devices())} devices; abort")
+            raise SystemExit(2)
+        mesh = hypothesis_mesh(mesh_axis)
+        log(f"mesh: {mesh_axis} devices over the hypothesis axis "
+            f"({BATCH // mesh_axis} hypotheses/device)")
+
+        def run(p):
+            res = refine_sharded(
+                p, render_fn, loss_fns, gt, lrs, weights, mesh,
+                nb_iterations=STEPS - 1, base_lr=0.02, lr_decay=0.1,
+                optimizer="adam", fused_loss_fn=fused_fn,
+            )
+            return res
+    else:
+        def run(p):
+            return refine_segmented(
+                p, render_fn, loss_fns, gt, lrs, weights,
+                nb_iterations=STEPS - 1, segment_steps=segment,
+                jit_refine=jit_refine,
+            )
 
     # compile + warm up
     t0 = time.perf_counter()
@@ -336,10 +379,14 @@ def main():
     log(f"final loss: {float(np.asarray(result.total_loss)[-1]):.5f}")
 
     value = 1.0 / dt  # refinements per second (64 hyps, 100 steps, 400x400)
+    mesh_note = f", mesh-axis {mesh_axis}" if mesh_axis > 1 else ""
     print(json.dumps({
         "metric": "pose_refinements_per_sec",
         "value": round(value, 3),
-        "unit": f"refinements/s (B={BATCH}, {STEPS} adam steps, {RES[0]}x{RES[1]})",
+        "unit": (
+            f"refinements/s (B={BATCH}, {STEPS} adam steps, "
+            f"{RES[0]}x{RES[1]}{mesh_note})"
+        ),
         "vs_baseline": round(value / 1.0, 3),
     }))
 

@@ -119,6 +119,8 @@ def refine(
     opt_state: Any = None,
     num_steps: Optional[int] = None,
     fused_loss_fn: Optional[Callable] = None,
+    loss_scale: float = 1.0,
+    axis_name: Optional[str] = None,
 ) -> RefineResult:
     """Run the full refinement as one scan.  Jit-compatible; call under jit.
 
@@ -144,6 +146,15 @@ def refine(
             render_fn + loss_fns with the fused render+loss kernel path
             (pipeline.make_fused_loss) — same semantics, no per-pixel
             images in HBM.  Mutually exclusive with extra_params.
+        loss_scale: multiply the scalar objective by this (parallel.py's
+            shard_map path passes 1/n so each shard's per-local-B mean
+            becomes its share of the GLOBAL-batch mean — updates bitwise
+            match the unsharded run).
+        axis_name: when running inside shard_map over a hypothesis mesh
+            axis, the name of that axis: the logged total and the scalar
+            telemetry are psum'd (pmax for *_max keys) so they report
+            global values, and gradients of replicated ``extra_params``
+            leaves are psum-reduced across shards.
 
     Returns:
         RefineResult with per-step pose history and loss logs.
@@ -164,22 +175,27 @@ def refine(
     if fused_loss_fn is not None and extra_params:
         raise ValueError("fused_loss_fn does not support extra_params")
     fused_takes_gt = False
+    fused_takes_lrs = False
     if fused_loss_fn is not None:
         import inspect
 
-        fused_takes_gt = (
-            len(inspect.signature(fused_loss_fn).parameters) >= 2
-        )
+        fused_sig = inspect.signature(fused_loss_fn).parameters
+        fused_takes_gt = len(fused_sig) >= 2
+        # sharded runs pass the shard-local learning-rate slice through
+        # (the closure-baked vector has the GLOBAL batch length)
+        fused_takes_lrs = "learning_rates" in fused_sig
 
     def loss_fn(params):
         mtx, _, _ = pose_matrix(params)
         if fused_loss_fn is not None:
             # gt passed traced when the fused fn defers it (one trace serves
             # many scenes, e.g. the BOP sweep); baked closures take mtx only
+            kw = {"learning_rates": learning_rates} if fused_takes_lrs else {}
             total, logs = (
-                fused_loss_fn(mtx, gt) if fused_takes_gt else fused_loss_fn(mtx)
+                fused_loss_fn(mtx, gt, **kw) if fused_takes_gt
+                else fused_loss_fn(mtx, **kw)
             )
-            return total, (logs, mtx)
+            return total * loss_scale, (logs, mtx)
         extra = {k: params[k] for k in extra_keys}
         renders = render_fn(mtx, **extra)
         total = jnp.float32(0.0)
@@ -188,13 +204,28 @@ def refine(
             term, (key, values) = fn(renders, gt, learning_rates, weights)
             total = total + term
             logs[key] = values
-        return total, (logs, mtx)
+        return total * loss_scale, (logs, mtx)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def step(carry, _):
         params, opt_state = carry
         (total, (logs, mtx)), grads = grad_fn(params)
+        if axis_name is not None:
+            # the hypotheses are independent, so pose gradients need no
+            # collective; only the replicated appearance leaves reduce
+            # across shards, and the logged scalars report global values
+            for k in extra_keys:
+                grads[k] = jax.lax.psum(grads[k], axis_name)
+            total = jax.lax.psum(total, axis_name)
+            logs = {
+                k: (
+                    (jax.lax.pmax(v, axis_name) if k.endswith("_max")
+                     else jax.lax.psum(v, axis_name))
+                    if k.startswith("_") else v
+                )
+                for k, v in logs.items()
+            }
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), {"logs": logs, "mtx": mtx, "total": total}

@@ -4,13 +4,22 @@ The reference is single-GPU with hard-coded `.cuda()` placement and no
 distributed support at all (SURVEY.md section 2.4).  Its one parallelism axis
 — the pose-hypothesis batch — maps directly onto a `jax.sharding.Mesh`:
 
-* pose parameters, per-hypothesis loss scales, and every rendered tensor
-  carry the batch as leading axis -> sharded over the ``hyp`` mesh axis
-  (ICI on a TPU slice);
+* pose parameters, per-hypothesis loss scales, and every per-hypothesis
+  output carry the batch as leading axis -> sharded over the ``hyp`` mesh
+  axis (ICI on a TPU slice);
 * ground-truth images, mesh tensors, and the projection are replicated;
-* the only collectives are the loss-mean over B (an implicit psum inserted
-  by GSPMD) and the final argmin over B scalars — both tiny, both riding
-  ICI.
+* the only collectives are the psum of the logged scalar loss (and of
+  replicated appearance-parameter gradients when those are optimized) —
+  tiny, riding ICI.
+
+The refinement runs under ``jax.shard_map``, NOT bare GSPMD propagation:
+the production render path is a Pallas kernel (a custom call XLA cannot
+partition), so under plain jit GSPMD would insert all-gathers and run the
+FULL batch grid on every device — numerically right, zero speedup.  Inside
+shard_map each device traces and runs the whole refinement scan on its
+local B/n hypothesis slice, so the kernel grids, the binning, and the
+optimizer state all shrink with the mesh (verified by
+tests/test_parallel.py::test_shard_map_runs_local_batch).
 
 Multi-host BOP sweeps (many scenes) are embarrassingly parallel: run one
 process per host over DCN with different scene assignments
@@ -20,7 +29,6 @@ semantics with zero cross-scene communication.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional, Sequence
 
 import jax
@@ -28,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from diffdope_tpu.optimize import refine
+from diffdope_tpu.optimize import RefineResult, refine
 
 __all__ = ["hypothesis_mesh", "shard_params", "replicate", "refine_sharded"]
 
@@ -64,40 +72,177 @@ def refine_sharded(
     axis_name: str = "hyp",
     extra_params: Optional[Dict[str, jax.Array]] = None,
     **refine_kwargs,
-):
+) -> RefineResult:
     """Run optimize.refine with the hypothesis batch sharded over `mesh`.
 
-    The batch size must be divisible by the mesh size.  All refine outputs
-    come back with the batch axis sharded; history/loss logs are tiny and
-    can be pulled to host with np.asarray as usual.
+    The batch size must be divisible by the mesh size.  Each device runs
+    the full refinement scan on its local B/n hypothesis slice under
+    shard_map (see module docstring for why not GSPMD); the scalar
+    objective is scaled by 1/n per shard so the optimizer updates match
+    the unsharded global-batch-mean semantics exactly, and the logged
+    total/telemetry are psum'd back to global values inside the step.
+
+    Per-hypothesis outputs (params, mtx_history, losses_values) come back
+    with the batch axis sharded over the mesh; total_loss and telemetry
+    are replicated.  ``opt_state`` is reassembled global (pose leaves
+    sharded over the mesh) — resuming a sharded run passes it straight
+    back in.
 
     ``extra_params`` (appearance leaves from enable_gradients_texture,
     reference diffdope.py:909-920) are shared across hypotheses, hence
-    replicated over the mesh; their gradients are reduced across shards by
-    the implicit GSPMD psum.
+    replicated over the mesh; their gradients are psum-reduced across
+    shards inside the step (optimize.refine axis_name handling).
     """
     b = params0["qx"].shape[0]
     n = mesh.devices.size
     if b % n != 0:
         raise ValueError(f"batchsize {b} not divisible by mesh size {n}")
+    if refine_kwargs.get("opt_state") is not None:
+        # a resumed opt_state from a previous refine_sharded call is global
+        # (pose leaves (B,)); it must enter through shard_map in_specs, not
+        # the closure.  Not needed by any caller yet — fail loudly.
+        raise NotImplementedError(
+            "resuming refine_sharded from an opt_state is not supported; "
+            "use a fresh run (the LR schedule is stateless in step count)"
+        )
+    b_local = b // n
 
-    params0 = shard_params(params0, mesh, axis_name)
-    learning_rates = jax.device_put(
-        jnp.asarray(learning_rates), NamedSharding(mesh, P(axis_name))
+    pose_keys = tuple(params0.keys())
+    extra_keys = tuple(extra_params.keys()) if extra_params else ()
+
+    # memo the jitted shard_map runner: jax's compile cache is keyed on
+    # function identity, so rebuilding jit(shard_map(new_closure)) per call
+    # would recompile every invocation (bench.py times repeated runs)
+    def _scalar_or_id(v):
+        return v if isinstance(v, (int, float, str, bool, type(None))) else id(v)
+
+    cache_key = (
+        id(render_fn),
+        tuple(id(f) for f in loss_fns),
+        id(mesh),
+        axis_name,
+        tuple(sorted((k, _scalar_or_id(v)) for k, v in refine_kwargs.items())),
+        tuple(sorted(weights.items())),
+        tuple(sorted((k, (jnp.shape(v), str(jnp.result_type(v)))) for k, v in params0.items())),
+        tuple(sorted((k, (jnp.shape(v), str(jnp.result_type(v)))) for k, v in dict(gt).items())),
+        (jnp.shape(learning_rates), str(jnp.result_type(learning_rates))),
+        tuple(sorted(
+            (k, (jnp.shape(v), str(jnp.result_type(v))))
+            for k, v in (extra_params or {}).items()
+        )),
     )
-    gt = replicate(gt, mesh)
-    if extra_params is not None:
-        extra_params = replicate(extra_params, mesh)
+    hit = _RUNNER_CACHE.get(cache_key)
+    if hit is not None:
+        fn = hit
+        out = fn(
+            dict(params0), dict(extra_params or {}), dict(gt),
+            jnp.asarray(learning_rates),
+        )
+        return _reassemble(out)
 
-    fn = jax.jit(
-        partial(
-            refine,
-            render_fn=render_fn,
-            loss_fns=tuple(loss_fns),
-            weights=weights,
+    def _local(pose0, extras, gt_arrays, lrs, *, _axis=axis_name):
+        res = refine(
+            pose0,
+            render_fn,
+            tuple(loss_fns),
+            gt_arrays,
+            lrs,
+            weights,
+            extra_params=dict(extras) if extra_keys else None,
+            loss_scale=1.0 / n,
+            axis_name=_axis,
             **refine_kwargs,
         )
+        return {
+            "pose": {k: res.params[k] for k in pose_keys},
+            "extra": {k: res.params[k] for k in extra_keys},
+            "mtx": res.mtx_history,
+            "losses": res.losses_values,
+            "total": res.total_loss,
+            "opt_state": res.opt_state,
+            "telemetry": res.telemetry or {},
+        }
+
+    # out_specs need the output pytree structure -> abstract trace with the
+    # SHARD-LOCAL shapes (what _local sees inside shard_map)
+    def _sds(a, local):
+        a = jnp.asarray(a) if not hasattr(a, "shape") else a
+        shape = ((b_local,) + tuple(a.shape[1:])) if local else tuple(a.shape)
+        return jax.ShapeDtypeStruct(shape, a.dtype)
+
+    pose_s = {k: _sds(v, True) for k, v in params0.items()}
+    extra_s = {k: _sds(v, False) for k, v in (extra_params or {}).items()}
+    gt_s = jax.tree.map(lambda a: _sds(a, False), dict(gt))
+    lrs_s = _sds(jnp.asarray(learning_rates), True)
+    # shape-only pre-trace runs outside shard_map, where the axis name is
+    # unbound — collectives off (they never change shapes/dtypes)
+    out_s = jax.eval_shape(
+        lambda *a: _local(*a, _axis=None), pose_s, extra_s, gt_s, lrs_s
     )
-    return fn(
-        params0, gt=gt, learning_rates=learning_rates, extra_params=extra_params
+
+    def _opt_spec(path, leaf):
+        # optimizer-state leaves mirror the param tree (optax mu/nu dicts
+        # keyed by param name); pose-keyed (B_local,) leaves are sharded,
+        # everything else (step counts, replicated appearance moments) is
+        # device-invariant
+        key = next(
+            (p.key for p in reversed(path) if isinstance(p, jax.tree_util.DictKey)),
+            None,
+        )
+        if key in pose_keys and leaf.ndim >= 1 and leaf.shape[0] == b_local:
+            return P(axis_name)
+        return P()
+
+    out_specs = {
+        "pose": jax.tree.map(lambda _: P(axis_name), out_s["pose"]),
+        "extra": jax.tree.map(lambda _: P(), out_s["extra"]),
+        "mtx": P(None, axis_name),
+        "losses": jax.tree.map(lambda _: P(None, axis_name), out_s["losses"]),
+        "total": P(),
+        "opt_state": jax.tree_util.tree_map_with_path(
+            _opt_spec, out_s["opt_state"]
+        ),
+        "telemetry": jax.tree.map(lambda _: P(), out_s["telemetry"]),
+    }
+
+    fn = jax.jit(
+        jax.shard_map(
+            _local,
+            mesh=mesh,
+            in_specs=(P(axis_name), P(), P(), P(axis_name)),
+            out_specs=out_specs,
+            # the kernels' scans initialize carries from replicated
+            # constants (zinit/iinit tiles), which trips the varying-manual-
+            # axes type check at every lax.scan; the values are correct (the
+            # carry becomes varying on first merge), so skip the bookkeeping
+            # rather than thread pcast through every kernel
+            check_vma=False,
+        )
     )
+    _RUNNER_CACHE[cache_key] = fn
+    while len(_RUNNER_CACHE) > 8:
+        _RUNNER_CACHE.pop(next(iter(_RUNNER_CACHE)))
+
+    out = fn(
+        dict(params0),
+        dict(extra_params or {}),
+        dict(gt),
+        jnp.asarray(learning_rates),
+    )
+    return _reassemble(out)
+
+
+def _reassemble(out) -> RefineResult:
+    final_params = dict(out["pose"])
+    final_params.update(out["extra"])
+    return RefineResult(
+        params=final_params,
+        mtx_history=out["mtx"],
+        losses_values=out["losses"],
+        total_loss=out["total"],
+        opt_state=out["opt_state"],
+        telemetry=out["telemetry"] or None,
+    )
+
+
+_RUNNER_CACHE: dict = {}

@@ -506,8 +506,15 @@ def make_fused_loss(
 
     interpret = jax.default_backend() not in ("tpu", "axon")
     npx = float(h * w)
+    baked_lrs = learning_rates
 
-    def fn(mtx, gt_arrays=None):
+    def fn(mtx, gt_arrays=None, learning_rates=None):
+        # learning_rates may be passed traced (optimize.refine does, so a
+        # shard_map'd run feeds each shard its LOCAL slice); the build-time
+        # vector is the single-trace default
+        learning_rates = (
+            baked_lrs if learning_rates is None else learning_rates
+        )
         if baked is not None:
             gt6, gtd_p = baked
         else:
