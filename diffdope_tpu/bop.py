@@ -84,6 +84,9 @@ def sweep_perturbation_levels(
     base_lr: float = 0.02,
     lr_bounds=(0.5, 4.0),
     loss_weights=(0.7, 0.0, 1.0),
+    init_jitter=(0.0, 0.0),
+    restarts: int = 0,
+    restart_jitter=(10.0, 0.02),
 ) -> Dict[str, dict]:
     """Sweep the bundled perturbation JSONs and aggregate ADD(-S)/AUC.
 
@@ -139,6 +142,7 @@ def sweep_perturbation_levels(
                         objs, level, scene_id, frame, mesh_path, obj_scale,
                         resolution, batchsize, nb_iterations, seed, log_fn,
                         optimizer, base_lr, lr_bounds, loss_weights,
+                        init_jitter, restarts, restart_jitter,
                     ))
         adds = np.asarray([o["add"] for o in per_object], float)
         adds_s = np.asarray(
@@ -201,7 +205,8 @@ def _sweep_real_frame(cfg, bop_root, models_dir, dataset, scene_id, frame,
 
 def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
                    obj_scale, seed, optimizer="adam", base_lr=0.02,
-                   lr_bounds=(0.5, 4.0), loss_weights=(0.7, 0.0, 1.0)):
+                   lr_bounds=(0.5, 4.0), loss_weights=(0.7, 0.0, 1.0),
+                   init_jitter=(0.0, 0.0)):
     """Jitted sweep machinery, built once per configuration.
 
     loss_weights = (rgb, depth, mask); 0 disables a term (the reference's
@@ -213,7 +218,7 @@ def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
     """
     key = (str(mesh_path), tuple(resolution), batchsize, nb_iterations,
            obj_scale, seed, optimizer, base_lr, tuple(lr_bounds),
-           tuple(loss_weights))
+           tuple(loss_weights), tuple(init_jitter))
     if key in _synth_ctx_cache:
         return _synth_ctx_cache[key]
 
@@ -226,8 +231,8 @@ def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
     from diffdope_tpu.losses import select_losses
     from diffdope_tpu.metrics import add_metric, adds_metric, object_diameter
     from diffdope_tpu.optimize import (
-        argmin_hypothesis, draw_learning_rates, pose_matrix, pose_params,
-        refine,
+        argmin_hypothesis, draw_learning_rates, jitter_pose_params,
+        pose_matrix, pose_params, refine,
     )
     from diffdope_tpu.render.pipeline import make_fused_loss, render_batch
 
@@ -319,11 +324,14 @@ def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
         return {"rgb": r["rgb"][0], "segmentation": r["mask"][0],
                 "depth": r["depth"][0]}, mtx[0]
 
-    jit_refine = jax.jit(functools.partial(
-        refine, render_fn=render_fn, loss_fns=tuple(loss_fns),
-        weights=weights, nb_iterations=nb_iterations, base_lr=base_lr,
-        lr_decay=0.1, optimizer=optimizer, fused_loss_fn=fused,
-    ))
+    jit_refine = jax.jit(
+        functools.partial(
+            refine, render_fn=render_fn, loss_fns=tuple(loss_fns),
+            weights=weights, nb_iterations=nb_iterations, base_lr=base_lr,
+            lr_decay=0.1, optimizer=optimizer, fused_loss_fn=fused,
+        ),
+        static_argnames=("num_steps",),
+    )
 
     from diffdope_tpu.metrics import subsample_points
 
@@ -339,10 +347,16 @@ def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
                         mtx_gt[:3, :3], mtx_gt[:3, 3]),
         )
 
+    jd, jt = init_jitter
+    jitter = (
+        jax.jit(lambda p, k: jitter_pose_params(p, k, jd, jt))
+        if (jd > 0 or jt > 0) else None
+    )
     ctx = dict(
         gt_render=gt_render, jit_refine=jit_refine, score=score, lrs=lrs,
         argmin=argmin_hypothesis, pose_params=pose_params,
-        diameter=object_diameter(pts), geo=geo,
+        diameter=object_diameter(pts), geo=geo, jitter=jitter,
+        weights=weights,
     )
     _synth_ctx_cache[key] = ctx
     return ctx
@@ -351,15 +365,24 @@ def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
 def _sweep_synth_objects(objs, level, scene_id, frame, mesh_path, obj_scale,
                          resolution, batchsize, nb_iterations, seed, log_fn,
                          optimizer="adam", base_lr=0.02,
-                         lr_bounds=(0.5, 4.0), loss_weights=(0.7, 0.0, 1.0)):
-    """Synthesized branch: JSON pose = gt, init = gt + level perturbation."""
+                         lr_bounds=(0.5, 4.0), loss_weights=(0.7, 0.0, 1.0),
+                         init_jitter=(0.0, 0.0), restarts=0,
+                         restart_jitter=(10.0, 0.02)):
+    """Synthesized branch: JSON pose = gt, init = gt + level perturbation.
+
+    init_jitter=(deg, trans) spreads the hypothesis batch around the
+    perturbed init (optimize.jitter_pose_params); restarts > 0 re-seeds
+    all hypotheses at the running argmin between equal segments
+    (optimize.refine_with_restarts).  Defaults preserve the reference
+    protocol exactly (all hypotheses identical, one continuous run)."""
     import zlib
 
+    import jax
     import jax.numpy as jnp
 
     ctx = _synth_context(mesh_path, resolution, batchsize, nb_iterations,
                          obj_scale, seed, optimizer, base_lr, lr_bounds,
-                         loss_weights)
+                         loss_weights, init_jitter)
     geo = ctx["geo"]
     deg, trans_mm = parse_level(level)
     rng = np.random.default_rng(
@@ -386,10 +409,24 @@ def _sweep_synth_objects(objs, level, scene_id, frame, mesh_path, obj_scale,
         dt = dt / np.linalg.norm(dt) * trans_mm * obj_scale
         t0 = (t_gt + dt).astype(np.float32)
 
-        result = ctx["jit_refine"](
-            ctx["pose_params"](q0, t0, batchsize), gt=gt,
-            learning_rates=ctx["lrs"],
-        )
+        p0 = ctx["pose_params"](q0, t0, batchsize)
+        if ctx["jitter"] is not None:
+            p0 = ctx["jitter"](
+                p0, jax.random.PRNGKey(int(rng.integers(2 ** 31)))
+            )
+        if restarts > 0:
+            from diffdope_tpu.optimize import refine_with_restarts
+
+            result = refine_with_restarts(
+                p0, None, (), gt, ctx["lrs"], ctx["weights"],
+                nb_iterations=nb_iterations, restarts=restarts,
+                restart_jitter_deg=restart_jitter[0],
+                restart_jitter_trans=restart_jitter[1],
+                key=jax.random.PRNGKey(int(rng.integers(2 ** 31))),
+                jit_refine=ctx["jit_refine"],
+            )
+        else:
+            result = ctx["jit_refine"](p0, gt=gt, learning_rates=ctx["lrs"])
         best = int(ctx["argmin"](
             {k: jnp.asarray(v) for k, v in result.losses_values.items()}))
         add, adds = ctx["score"](result.mtx_history[-1][best], mtx_gt)

@@ -221,8 +221,13 @@ class DiffDope:
         the bins exact with bounded slack.  1.5x margin covers pose drift
         during the refinement; rebinning happens every step regardless.
         """
+        boost = getattr(self, "_capacity_boost", 1.0)
+        t_cap = int(arrays["pos_idx"].shape[0])
         if self.max_tris_per_tile != "auto":
-            return int(self.max_tris_per_tile)
+            k = int(self.max_tris_per_tile)
+            if boost > 1.0:  # overflow auto-recovery grows even explicit K
+                k = min(t_cap, -(-int(k * boost) // 128) * 128)
+            return k
         from diffdope_tpu.optimize import pose_matrix
         from diffdope_tpu.render.planar import (
             bin_triangles_planar,
@@ -247,7 +252,10 @@ class DiffDope:
 
         mtx0, _, _ = jax.jit(pose_matrix)(self.object3d.initial_params(1))
         max_count = int(measure(mtx0))
-        k = min(t_count, max(512, -(-int(max_count * 1.5) // 128) * 128))
+        k = min(
+            t_count,
+            max(512, -(-int(max_count * 1.5 * boost) // 128) * 128),
+        )
         log.info("auto max_tris_per_tile: measured %d -> K=%d", max_count, k)
         return k
 
@@ -296,7 +304,8 @@ class DiffDope:
 
         mtx0, _, _ = jax.jit(pose_matrix)(self.object3d.initial_params(1))
         tot0 = int(measure(mtx0))
-        total = -(-int(tot0 * 1.35 + kc) // kc) * kc
+        boost = getattr(self, "_capacity_boost", 1.0)
+        total = -(-int(tot0 * 1.35 * boost + kc) // kc) * kc
         log.info("compact bin table: probe %d slots -> capacity %d", tot0, total)
         return total
 
@@ -472,6 +481,20 @@ class DiffDope:
         render_fn = self._make_render_fn(with_bins=use_bins)
         params0 = self.object3d.initial_params(self.batchsize)
 
+        # seeded per-hypothesis init jitter (optimize.jitter_pose_params):
+        # a basin-search capability the reference lacks (its hypotheses all
+        # start at the same pose, diffdope.py:1019-1026); defaults of 0
+        # keep exact reference behavior
+        tpu_cfg = self.cfg.get("tpu", ConfigNode())
+        jd = float(tpu_cfg.get("init_jitter_deg", 0.0))
+        jt = float(tpu_cfg.get("init_jitter_trans", 0.0))
+        if jd > 0.0 or jt > 0.0:
+            from diffdope_tpu.optimize import jitter_pose_params
+
+            params0 = jax.jit(
+                partial(jitter_pose_params, jitter_deg=jd, jitter_trans=jt)
+            )(params0, jax.random.PRNGKey(self.seed + 1))
+
         # appearance refinement (reference Mesh.enable_gradients_texture,
         # diffdope.py:909-920): lift the color leaves into the optimized
         # parameter pytree
@@ -492,63 +515,122 @@ class DiffDope:
             elif mesh.vtx_color is not None:
                 extra_params = {"vtx_color": jnp.asarray(mesh.vtx_color)}
 
-        # fused shade+AA+loss kernel when the configuration allows it (the
-        # production fast path; appearance optimization needs the unfused
-        # render for its texture gradients)
-        fused_fn = (
-            None if extra_params is not None
-            else self._make_fused_loss_fn(gt, use_bins=use_bins)
-        )
-
-        # rebuilt every run: the render closure bakes in the per-run binning
-        # (XLA's compile cache absorbs unchanged retraces).  Execution is
-        # segmented: some environments kill single device programs past ~60s.
-        segment = int(self.cfg.get("tpu", ConfigNode()).get("scan_segment", 40))
-        self._refine_jit = jax.jit(
-            partial(
-                refine,
-                render_fn=render_fn,
-                loss_fns=tuple(self.loss_functions),
-                weights=self.loss_weights,
-                nb_iterations=self.nb_iterations,
-                base_lr=self.base_lr,
-                lr_decay=self.lr_decay,
-                optimizer=self.optimizer_name,
-                fused_loss_fn=fused_fn,
-            ),
-            static_argnames=("num_steps",),
-        )
-
-        mesh_axis = int(self.cfg.get("tpu", ConfigNode()).get("mesh_axis", 1))
-
-        t0 = time.perf_counter()
-        if mesh_axis > 1:
-            # shard the hypothesis batch over the first `mesh_axis` devices
-            from diffdope_tpu.parallel import hypothesis_mesh, refine_sharded
-
-            result = refine_sharded(
-                params0, render_fn, tuple(self.loss_functions), gt,
-                self.learning_rates, self.loss_weights,
-                mesh=hypothesis_mesh(mesh_axis),
-                extra_params=extra_params,
-                nb_iterations=self.nb_iterations, base_lr=self.base_lr,
-                lr_decay=self.lr_decay, optimizer=self.optimizer_name,
-                fused_loss_fn=fused_fn,
+        def _dispatch(render_fn):
+            # fused shade+AA+loss kernel when the configuration allows it
+            # (the production fast path; appearance optimization needs the
+            # unfused render for its texture gradients)
+            fused_fn = (
+                None if extra_params is not None
+                else self._make_fused_loss_fn(gt, use_bins=use_bins)
             )
-        elif extra_params is not None:
-            result = self._refine_jit(
-                params0, gt=gt, learning_rates=self.learning_rates,
-                extra_params=extra_params,
+
+            # rebuilt every run: the render closure bakes in the per-run
+            # binning (XLA's compile cache absorbs unchanged retraces).
+            # Execution is segmented: some environments kill single device
+            # programs past ~60s.
+            segment = int(tpu_cfg.get("scan_segment", 40))
+            self._refine_jit = jax.jit(
+                partial(
+                    refine,
+                    render_fn=render_fn,
+                    loss_fns=tuple(self.loss_functions),
+                    weights=self.loss_weights,
+                    nb_iterations=self.nb_iterations,
+                    base_lr=self.base_lr,
+                    lr_decay=self.lr_decay,
+                    optimizer=self.optimizer_name,
+                    fused_loss_fn=fused_fn,
+                ),
+                static_argnames=("num_steps",),
             )
-        else:
-            result = refine_segmented(
-                params0, render_fn, tuple(self.loss_functions), gt,
-                self.learning_rates, self.loss_weights,
-                nb_iterations=self.nb_iterations, segment_steps=segment,
-                jit_refine=self._refine_jit,
+
+            t0 = time.perf_counter()
+            if mesh_axis > 1:
+                # shard the hypothesis batch over the first `mesh_axis`
+                # devices (jax.shard_map, parallel.refine_sharded)
+                from diffdope_tpu.parallel import hypothesis_mesh, refine_sharded
+
+                result = refine_sharded(
+                    params0, render_fn, tuple(self.loss_functions), gt,
+                    self.learning_rates, self.loss_weights,
+                    mesh=hypothesis_mesh(mesh_axis),
+                    extra_params=extra_params,
+                    nb_iterations=self.nb_iterations, base_lr=self.base_lr,
+                    lr_decay=self.lr_decay, optimizer=self.optimizer_name,
+                    fused_loss_fn=fused_fn,
+                )
+            elif extra_params is not None:
+                result = self._refine_jit(
+                    params0, gt=gt, learning_rates=self.learning_rates,
+                    extra_params=extra_params,
+                )
+            elif int(tpu_cfg.get("restarts", 0)) > 0:
+                # basin-hopping restarts (optimize.refine_with_restarts):
+                # all hypotheses re-seed at the running argmin between
+                # segments
+                from diffdope_tpu.optimize import refine_with_restarts
+
+                result = refine_with_restarts(
+                    params0, render_fn, tuple(self.loss_functions), gt,
+                    self.learning_rates, self.loss_weights,
+                    nb_iterations=self.nb_iterations,
+                    restarts=int(tpu_cfg.get("restarts", 0)),
+                    restart_jitter_deg=float(
+                        tpu_cfg.get("restart_jitter_deg", 10.0)
+                    ),
+                    restart_jitter_trans=float(
+                        tpu_cfg.get("restart_jitter_trans", 0.02)
+                    ),
+                    key=jax.random.PRNGKey(self.seed + 2),
+                    jit_refine=self._refine_jit,
+                )
+            else:
+                # live per-segment loss (the reference user sees a tqdm
+                # loss bar every step, diffdope.py:1654; the one-scan
+                # design reports at segment granularity)
+                show_progress = bool(tpu_cfg.get("progress", True))
+
+                def _progress(done, total_steps, last_loss):
+                    log.info(
+                        "refine %d/%d steps, loss %.5f",
+                        done, total_steps, last_loss,
+                    )
+
+                result = refine_segmented(
+                    params0, render_fn, tuple(self.loss_functions), gt,
+                    self.learning_rates, self.loss_weights,
+                    nb_iterations=self.nb_iterations, segment_steps=segment,
+                    jit_refine=self._refine_jit,
+                    progress_fn=_progress if show_progress else None,
+                )
+            jax.block_until_ready(result.mtx_history)
+            return result, time.perf_counter() - t0
+
+        mesh_axis = int(tpu_cfg.get("mesh_axis", 1))
+
+        # Bin-overflow AUTO-RECOVERY: capacities are probed at the initial
+        # pose; a refinement that drifts past them silently degrades that
+        # step's renders/gradients.  nvdiffrast has no capacity cap at all
+        # (reference diffdope.py:198-200), so parity requires the cap to
+        # never cost correctness: on scan-carried overflow telemetry, grow
+        # the capacity margin and re-run from the SAME init (the degraded
+        # run is discarded).  tpu.overflow_recovery=false restores
+        # warn-only behavior.
+        recovery = bool(tpu_cfg.get("overflow_recovery", True))
+        max_retries = int(tpu_cfg.get("overflow_retries", 2))
+        for attempt in range(max_retries + 1):
+            result, dt = _dispatch(render_fn)
+            overflow = self._overflow_max(result)
+            if overflow == 0 or not recovery or attempt == max_retries:
+                break
+            self._capacity_boost = getattr(self, "_capacity_boost", 1.0) * 1.5
+            log.warning(
+                "bin overflow mid-refinement (up to %d dropped (tile, "
+                "triangle) pairs/step) — growing bin capacity x%.2f and "
+                "re-running (attempt %d/%d)",
+                overflow, self._capacity_boost, attempt + 1, max_retries,
             )
-        jax.block_until_ready(result.mtx_history)
-        dt = time.perf_counter() - t0
+            render_fn = self._make_render_fn(with_bins=use_bins)
 
         # appearance refinement updates the mesh in place (the reference's
         # nn.Parameter texture is mutated by the optimizer the same way,
@@ -590,6 +672,14 @@ class DiffDope:
             "refined %d hypotheses, %d steps in %.3fs (%.1f steps/s), final loss %.5f",
             self.batchsize, steps, dt, steps / dt, self.last_run_stats["final_loss"],
         )
+
+    def _overflow_max(self, result) -> int:
+        """Worst per-step dropped-pair count from the scan telemetry (0
+        when the run produced no overflow telemetry)."""
+        telem = getattr(result, "telemetry", None) or {}
+        if "_bin_overflow" not in telem:
+            return 0
+        return int(np.asarray(telem["_bin_overflow"]).max(initial=0))
 
     def _check_bin_overflow(self, result) -> None:
         """Warn when the refinement drifted past the sized bin capacity.

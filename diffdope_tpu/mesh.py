@@ -156,11 +156,33 @@ def _load_ply_ascii(body: bytes, elements, out):
                 raise ValueError("PLY vertex rows shorter than property list")
             _vertex_fields_to_arrays(scalar_names, table, out)
         elif name == "face":
-            rows = np.loadtxt(chunk, dtype=np.int64, ndmin=2)
+            try:
+                rows = np.loadtxt(chunk, dtype=np.int64, ndmin=2)
+            except ValueError:
+                # ragged polygon counts (mixed tris/quads): per-line parse
+                rows = [
+                    np.array(ln.split(), dtype=np.int64) for ln in chunk
+                ]
+                faces = []
+                for row in rows:
+                    k = int(row[0])
+                    for j in range(1, k - 1):
+                        faces.append((row[1], row[1 + j], row[2 + j]))
+                out["faces"] = np.asarray(faces, np.int32)
+                continue
             counts = rows[:, 0]
-            if not np.all(counts == 3):
-                raise ValueError("only triangle meshes are supported")
-            out["faces"] = rows[:, 1:4].astype(np.int32)
+            if np.all(counts == 3):
+                out["faces"] = rows[:, 1:4].astype(np.int32)
+            else:
+                # polygon faces (quads etc): fan-triangulate, like
+                # trimesh does for the reference's loader
+                # (reference diffdope.py:784)
+                faces = []
+                for row in rows:
+                    k = int(row[0])
+                    for j in range(1, k - 1):
+                        faces.append((row[1], row[1 + j], row[2 + j]))
+                out["faces"] = np.asarray(faces, np.int32)
 
 
 def _load_ply_binary(body: bytes, elements, fmt, out):
@@ -186,14 +208,34 @@ def _load_ply_binary(body: bytes, elements, fmt, out):
             cdt = np.dtype(endian + count_t)
             idt = np.dtype(endian + item_t)
             first_n = int(np.frombuffer(body, dtype=cdt, count=1, offset=offset)[0])
-            if first_n != 3:
-                raise ValueError("only triangle meshes are supported")
-            row = np.dtype([("n", endian + count_t), ("v", endian + item_t, (3,))])
-            arr = np.frombuffer(body, dtype=row, count=count, offset=offset)
-            if not np.all(arr["n"] == 3):
-                raise ValueError("only triangle meshes are supported")
-            offset += row.itemsize * count
-            out["faces"] = arr["v"].astype(np.int32)
+            if first_n < 3:
+                raise ValueError(f"degenerate PLY face (count {first_n})")
+            row = np.dtype(
+                [("n", endian + count_t), ("v", endian + item_t, (first_n,))]
+            )
+            try:
+                arr = np.frombuffer(body, dtype=row, count=count, offset=offset)
+            except ValueError:  # mixed sizes shorter than assumed: scan
+                arr = None
+            if arr is not None and np.all(arr["n"] == first_n):
+                offset += row.itemsize * count
+                poly = arr["v"].astype(np.int32)
+                # uniform k-gons: fan-triangulate (k=3 is the common case)
+                tris = [
+                    poly[:, [0, j, j + 1]] for j in range(1, first_n - 1)
+                ]
+                out["faces"] = np.concatenate(tris, axis=0) if len(tris) > 1 else tris[0]
+            else:
+                # mixed polygon sizes: per-row scan with fan triangulation
+                faces = []
+                for _ in range(count):
+                    k = int(np.frombuffer(body, dtype=cdt, count=1, offset=offset)[0])
+                    offset += cdt.itemsize
+                    idxs = np.frombuffer(body, dtype=idt, count=k, offset=offset)
+                    offset += idt.itemsize * k
+                    for j in range(1, k - 1):
+                        faces.append((idxs[0], idxs[j], idxs[j + 1]))
+                out["faces"] = np.asarray(faces, np.int32)
 
 
 def _scan_list_element(body, offset, count, props, endian):
@@ -278,6 +320,184 @@ def load_obj(path) -> Dict[str, np.ndarray]:
         out["uv"] = np.asarray(new_uv, dtype=np.float32)
     if new_nrm and len(new_nrm) == len(new_pos):
         out["normals"] = np.asarray(new_nrm, dtype=np.float32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# glTF / GLB parsing (the reference loads any trimesh-readable format,
+# reference diffdope.py:784; .glb is the common interchange one beyond
+# PLY/OBJ)
+# ---------------------------------------------------------------------------
+
+_GLTF_CTYPES = {
+    5120: np.int8, 5121: np.uint8, 5122: np.int16,
+    5123: np.uint16, 5125: np.uint32, 5126: np.float32,
+}
+_GLTF_NCOMP = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4}
+
+
+def _gltf_read_accessor(gltf, buffers, idx):
+    """Accessor -> (count, n_comp) numpy array (tightly packed or strided)."""
+    acc = gltf["accessors"][idx]
+    n_comp = _GLTF_NCOMP[acc["type"]]
+    dtype = np.dtype(_GLTF_CTYPES[acc["componentType"]]).newbyteorder("<")
+    count = acc["count"]
+    bv = gltf["bufferViews"][acc["bufferView"]]
+    buf = buffers[bv.get("buffer", 0)]
+    start = bv.get("byteOffset", 0) + acc.get("byteOffset", 0)
+    stride = bv.get("byteStride") or dtype.itemsize * n_comp
+    if stride == dtype.itemsize * n_comp:
+        arr = np.frombuffer(buf, dtype=dtype, count=count * n_comp,
+                            offset=start).reshape(count, n_comp)
+    else:  # interleaved vertex buffer
+        rows = np.frombuffer(buf, dtype=np.uint8, count=count * stride,
+                             offset=start).reshape(count, stride)
+        arr = rows[:, : dtype.itemsize * n_comp].copy().view(dtype).reshape(
+            count, n_comp
+        )
+    if acc.get("normalized") and arr.dtype != np.float32:
+        arr = arr.astype(np.float32) / np.iinfo(arr.dtype).max
+    return arr
+
+
+def _gltf_decode_image(gltf, buffers, image_idx):
+    import cv2
+
+    img_def = gltf["images"][image_idx]
+    if "bufferView" in img_def:
+        bv = gltf["bufferViews"][img_def["bufferView"]]
+        raw = buffers[bv.get("buffer", 0)][
+            bv.get("byteOffset", 0): bv.get("byteOffset", 0) + bv["byteLength"]
+        ]
+        data = np.frombuffer(raw, np.uint8)
+    elif img_def.get("uri", "").startswith("data:"):
+        import base64
+
+        data = np.frombuffer(
+            base64.b64decode(img_def["uri"].split(",", 1)[1]), np.uint8
+        )
+    else:
+        return None  # external file URI resolved by the caller
+    img = cv2.imdecode(data, cv2.IMREAD_COLOR)
+    if img is None:
+        return None
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+
+
+def load_glb(path) -> Dict[str, np.ndarray]:
+    """Minimal glTF 2.0 binary (.glb) / JSON (.gltf) loader.
+
+    Returns the same dict contract as :func:`load_ply`: ``vertices``,
+    ``faces``, and when present ``normals``, ``uv``, ``colors``, plus
+    ``texture_image`` (decoded (H,W,3) float RGB from the material's
+    baseColorTexture) and ``uv_origin`` = 'top' (glTF uv v=0 is the image
+    TOP row, already matching texture storage — no V flip needed, unlike
+    the PLY convention).
+
+    All primitives of all meshes are concatenated (node transforms are NOT
+    applied — single-object asset assumption, which is what the refiner
+    consumes).  Feature parity target: the formats the reference gets for
+    free from trimesh.load (reference diffdope.py:784).
+    """
+    import json as _json
+    import struct
+
+    path = Path(path)
+    raw = path.read_bytes()
+    buffers = []
+    if raw[:4] == b"glTF":
+        _, _, total_len = struct.unpack("<4sII", raw[:12])
+        off = 12
+        gltf = None
+        while off < min(total_len, len(raw)):
+            clen, ctype = struct.unpack("<II", raw[off:off + 8])
+            chunk = raw[off + 8: off + 8 + clen]
+            if ctype == 0x4E4F534A:  # 'JSON'
+                gltf = _json.loads(chunk)
+            elif ctype == 0x004E4942:  # 'BIN\0'
+                buffers.append(chunk)
+            off += 8 + clen
+        if gltf is None:
+            raise ValueError(f"{path}: GLB without a JSON chunk")
+    else:
+        gltf = _json.loads(raw)
+        for b in gltf.get("buffers", []):
+            uri = b.get("uri", "")
+            if uri.startswith("data:"):
+                import base64
+
+                buffers.append(base64.b64decode(uri.split(",", 1)[1]))
+            else:
+                buffers.append((path.parent / uri).read_bytes())
+
+    verts, faces, normals, uvs, colors = [], [], [], [], []
+    tex_image = None
+    base = 0
+    for mesh_def in gltf.get("meshes", []):
+        for prim in mesh_def.get("primitives", []):
+            if prim.get("mode", 4) != 4:  # TRIANGLES only
+                continue
+            attrs = prim["attributes"]
+            pos = _gltf_read_accessor(gltf, buffers, attrs["POSITION"])
+            pos = pos.astype(np.float32)
+            npts = len(pos)
+            if "indices" in prim:
+                idx = _gltf_read_accessor(
+                    gltf, buffers, prim["indices"]
+                ).reshape(-1).astype(np.int64)
+            else:
+                idx = np.arange(npts, dtype=np.int64)
+            verts.append(pos)
+            faces.append(idx.reshape(-1, 3) + base)
+            normals.append(
+                _gltf_read_accessor(gltf, buffers, attrs["NORMAL"])
+                .astype(np.float32)
+                if "NORMAL" in attrs else np.zeros((npts, 3), np.float32)
+            )
+            uvs.append(
+                _gltf_read_accessor(gltf, buffers, attrs["TEXCOORD_0"])
+                .astype(np.float32)
+                if "TEXCOORD_0" in attrs else np.zeros((npts, 2), np.float32)
+            )
+            colors.append(
+                _gltf_read_accessor(gltf, buffers, attrs["COLOR_0"])
+                .astype(np.float32)[:, :3]
+                if "COLOR_0" in attrs else np.full((npts, 3), 0.7, np.float32)
+            )
+            if tex_image is None and "material" in prim:
+                mat = gltf["materials"][prim["material"]]
+                bct = mat.get("pbrMetallicRoughness", {}).get(
+                    "baseColorTexture"
+                )
+                if bct is not None:
+                    src = gltf["textures"][bct["index"]].get("source")
+                    if src is not None:
+                        tex_image = _gltf_decode_image(gltf, buffers, src)
+                        if tex_image is None:
+                            uri = gltf["images"][src].get("uri")
+                            if uri and not uri.startswith("data:"):
+                                tex_image = _load_texture(path.parent / uri)
+            base += npts
+    if not verts:
+        raise ValueError(f"{path}: no triangle primitives found")
+
+    out: Dict[str, np.ndarray] = {
+        "vertices": np.concatenate(verts, 0),
+        "faces": np.concatenate(faces, 0).astype(np.int32),
+    }
+    nrm = np.concatenate(normals, 0)
+    if np.abs(nrm).max() > 0:
+        out["normals"] = nrm
+    uv = np.concatenate(uvs, 0)
+    has_uv = np.ptp(uv, axis=0).max() > 0
+    if has_uv:
+        out["uv"] = uv
+        out["uv_origin"] = "top"
+    col = np.concatenate(colors, 0)
+    if not np.allclose(col, 0.7):
+        out["colors"] = col
+    if tex_image is not None and has_uv:
+        out["texture_image"] = tex_image
     return out
 
 
@@ -539,6 +759,8 @@ def load_mesh(
         data = load_ply(path)
     elif path.suffix.lower() == ".obj":
         data = load_obj(path)
+    elif path.suffix.lower() in (".glb", ".gltf"):
+        data = load_glb(path)
     else:
         raise ValueError(f"unsupported mesh format: {path.suffix}")
 
@@ -574,6 +796,10 @@ def load_mesh(
         tex = _load_texture(texture_path)
         uv = uv.copy()
         uv[:, 1] = 1.0 - uv[:, 1]  # V flip (reference diffdope.py:822)
+    elif data.get("texture_image") is not None and uv is not None:
+        # glTF embeds the texture; its uv origin is already the image top
+        # row (uv_origin='top'), so no V flip
+        tex = data["texture_image"]
 
     vtx_color = None
     if tex is None:

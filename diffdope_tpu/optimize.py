@@ -29,6 +29,7 @@ from typing import Any, Callable, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from diffdope_tpu.geometry import matrix44_from_quat_trans, quat_normalize
@@ -75,6 +76,60 @@ def pose_matrix(params: Dict[str, Array]) -> Tuple[Array, Array, Array]:
     q = quat_normalize(q)
     t = jnp.stack([params["x"], params["y"], params["z"]], axis=-1)
     return matrix44_from_quat_trans(q, t), q, t
+
+
+def jitter_pose_params(
+    params: Dict[str, Array],
+    key: Array,
+    jitter_deg: float = 0.0,
+    jitter_trans: float = 0.0,
+    keep_first: bool = True,
+) -> Dict[str, Array]:
+    """Seeded per-hypothesis pose jitter: diversify the initial hypotheses.
+
+    The reference's ONLY hypothesis-diversity mechanism is the random
+    per-hypothesis loss scaling (reference diffdope.py:534-544, 1368-1375)
+    — every hypothesis starts at the SAME pose.  Large sharded batches make
+    explicit init diversity natural: each hypothesis gets an extra random
+    rotation (random axis, angle uniform in [0, jitter_deg]) and a random
+    translation offset (uniform direction, magnitude uniform in
+    [0, jitter_trans], working units).  ``keep_first`` pins hypothesis 0 at
+    the unjittered init so the original basin is always explored.  Default
+    magnitudes of 0 reproduce reference behavior exactly.
+    """
+    if jitter_deg <= 0.0 and jitter_trans <= 0.0:
+        return params
+    b = params["qx"].shape[0]
+    k_ax, k_ang, k_dir, k_mag = jax.random.split(jnp.asarray(key), 4)
+
+    axis = jax.random.normal(k_ax, (b, 3), jnp.float32)
+    axis = axis / jnp.maximum(jnp.linalg.norm(axis, axis=-1, keepdims=True), 1e-9)
+    ang = jax.random.uniform(
+        k_ang, (b,), jnp.float32, 0.0, float(np.deg2rad(jitter_deg))
+    )
+    dq = jnp.concatenate(
+        [axis * jnp.sin(0.5 * ang)[:, None], jnp.cos(0.5 * ang)[:, None]], -1
+    )
+    q = jnp.stack(
+        [params["qx"], params["qy"], params["qz"], params["qw"]], axis=-1
+    )
+    from diffdope_tpu.geometry import quat_multiply, quat_normalize
+
+    qj = quat_normalize(quat_multiply(dq, quat_normalize(q)))
+
+    direc = jax.random.normal(k_dir, (b, 3), jnp.float32)
+    direc = direc / jnp.maximum(jnp.linalg.norm(direc, axis=-1, keepdims=True), 1e-9)
+    mag = jax.random.uniform(k_mag, (b,), jnp.float32, 0.0, float(jitter_trans))
+    t = jnp.stack([params["x"], params["y"], params["z"]], axis=-1)
+    tj = t + direc * mag[:, None]
+
+    if keep_first:
+        qj = qj.at[0].set(quat_normalize(q)[0])
+        tj = tj.at[0].set(t[0])
+    return {
+        "qx": qj[:, 0], "qy": qj[:, 1], "qz": qj[:, 2], "qw": qj[:, 3],
+        "x": tj[:, 0], "y": tj[:, 1], "z": tj[:, 2],
+    }
 
 
 def draw_learning_rates(key: Array, batchsize: int, bounds: Sequence[float]) -> Array:
@@ -258,6 +313,7 @@ def refine_segmented(
     nb_iterations: int = 60,
     segment_steps: int = 40,
     jit_refine=None,
+    progress_fn=None,
     **refine_kwargs,
 ) -> RefineResult:
     """Run the refinement as several jitted scan segments.
@@ -267,6 +323,11 @@ def refine_segmented(
     also bounds peak history memory.  Optimizer state and the LR-schedule
     step count carry across segments, so the result is numerically identical
     to one long scan.  Host-side cost: one dispatch per segment.
+
+    ``progress_fn(done_steps, total_steps, last_total_loss)`` is called
+    after every segment — the live-progress equivalent of the reference's
+    per-step tqdm loss bar (reference diffdope.py:1654, 1712), at segment
+    granularity because the scan dispatches whole segments.
     """
     import numpy as np
 
@@ -310,6 +371,10 @@ def refine_segmented(
         for k, v in (res.telemetry or {}).items():
             telem_chunks.setdefault(k, []).append(v)
         done += n
+        if progress_fn is not None:
+            import numpy as _np
+
+            progress_fn(done, total, float(_np.asarray(res.total_loss)[-1]))
 
     return RefineResult(
         params=params,
@@ -320,6 +385,107 @@ def refine_segmented(
         segment_times=segment_times,
         telemetry=(
             {k: jnp.concatenate(v, axis=0) for k, v in telem_chunks.items()}
+            or None
+        ),
+    )
+
+
+def refine_with_restarts(
+    params0: Dict[str, Array],
+    render_fn,
+    loss_fns,
+    gt,
+    learning_rates,
+    weights,
+    nb_iterations: int = 60,
+    restarts: int = 1,
+    restart_jitter_deg: float = 10.0,
+    restart_jitter_trans: float = 0.02,
+    key: Optional[Array] = None,
+    jit_refine=None,
+    **refine_kwargs,
+) -> RefineResult:
+    """Basin-hopping refinement: restart all hypotheses around the argmin.
+
+    Runs the refinement in ``restarts + 1`` equal segments.  After each
+    segment the best hypothesis (argmin of the logged loss means, the
+    reference's get_argmin rule, diffdope.py:1488-1513) becomes the new
+    shared init; every hypothesis re-seeds at that pose plus a fresh
+    seeded jitter (hypothesis 0 exactly at the winner), and the optimizer
+    state resets — a wider basin search early, a focused ensemble late.
+    This is a TPU-batch-native capability the reference lacks (its only
+    diversity is random loss scales); ``restarts=0`` is plain
+    :func:`refine`.
+
+    History/log outputs are the concatenation over segments (same total
+    step count as one refine run with the same nb_iterations).
+    """
+    total = nb_iterations + 1
+    n_seg = restarts + 1
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if jit_refine is None:
+        jit_refine = jax.jit(
+            functools.partial(
+                refine,
+                render_fn=render_fn,
+                loss_fns=tuple(loss_fns),
+                weights=weights,
+                nb_iterations=nb_iterations,
+                **refine_kwargs,
+            ),
+            static_argnames=("num_steps",),
+        )
+
+    @jax.jit
+    def reseed(params, losses_last, k):
+        """All hypotheses <- argmin pose (+ jitter on all but #0)."""
+        best = jnp.argmin(
+            jnp.mean(jnp.stack(list(losses_last.values()), 0), axis=0), -1
+        )
+        shared = {kk: jnp.broadcast_to(v[best], v.shape) for kk, v in params.items()}
+        return jitter_pose_params(
+            shared, k, restart_jitter_deg, restart_jitter_trans
+        )
+
+    params = params0
+    mtx_chunks, total_chunks = [], []
+    logs_chunks: Dict[str, list] = {}
+    telem_chunks: Dict[str, list] = {}
+    done = 0
+    for seg in range(n_seg):
+        n = (total - done) // (n_seg - seg)
+        res = jit_refine(
+            params, gt=gt, learning_rates=learning_rates, num_steps=n
+        )
+        done += n
+        mtx_chunks.append(res.mtx_history)
+        total_chunks.append(res.total_loss)
+        for k2, v in res.losses_values.items():
+            logs_chunks.setdefault(k2, []).append(v)
+        for k2, v in (res.telemetry or {}).items():
+            telem_chunks.setdefault(k2, []).append(v)
+        if seg < n_seg - 1:
+            key, sub = jax.random.split(key)
+            pose_only = {
+                k2: res.params[k2]
+                for k2 in ("qx", "qy", "qz", "qw", "x", "y", "z")
+            }
+            last = {k2: v[-1] for k2, v in res.losses_values.items()}
+            params = reseed(pose_only, last, sub)
+        else:
+            params = res.params
+
+    return RefineResult(
+        params=params,
+        mtx_history=jnp.concatenate(mtx_chunks, axis=0),
+        losses_values={
+            k2: jnp.concatenate(v, axis=0) for k2, v in logs_chunks.items()
+        },
+        total_loss=jnp.concatenate(total_chunks, axis=0),
+        opt_state=None,
+        telemetry=(
+            {k2: jnp.concatenate(v, axis=0) for k2, v in telem_chunks.items()}
             or None
         ),
     )

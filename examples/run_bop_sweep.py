@@ -58,6 +58,17 @@ def main():
                     help="rgb,depth,mask term weights; 0 disables a term "
                          "(the reference default protocol is mask-only: "
                          "0,0,1 — configs/diffdope.yaml losses block)")
+    ap.add_argument("--init-jitter", default="0,0",
+                    help="deg,trans per-hypothesis init jitter (seeded; "
+                         "hypothesis 0 stays at the unjittered init — "
+                         "optimize.jitter_pose_params). Default 0,0 = "
+                         "reference parity (all hypotheses identical)")
+    ap.add_argument("--restarts", type=int, default=0,
+                    help="re-seed all hypotheses at the running argmin "
+                         "between N+1 equal segments "
+                         "(optimize.refine_with_restarts)")
+    ap.add_argument("--restart-jitter", default="10,0.02",
+                    help="deg,trans jitter applied at each restart")
     ap.add_argument("--shard", default="0/1", help="i/n per-host scene shard")
     ap.add_argument("--out", default=None, help="write full results JSON here")
     args = ap.parse_args()
@@ -90,6 +101,11 @@ def main():
         base_lr=args.base_lr,
         lr_bounds=tuple(float(v) for v in args.lr_bounds.split(",")),
         loss_weights=tuple(float(v) for v in args.loss_weights.split(",")),
+        init_jitter=tuple(float(v) for v in args.init_jitter.split(",")),
+        restarts=args.restarts,
+        restart_jitter=tuple(
+            float(v) for v in args.restart_jitter.split(",")
+        ),
     )
 
     print()

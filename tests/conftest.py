@@ -73,3 +73,61 @@ def pytest_configure(config):
     )
     sys.stderr.flush()
     os.execve(sys.executable, argv, env)
+
+
+# ---------------------------------------------------------------------------
+# slow-test marking: the full suite takes ~20 min on CPU (pallas interpret
+# mode); `-m "not slow"` keeps a <3 min fast pass for iteration while CI
+# runs everything.  Centralized here (by test name, parametrizations
+# included) so heavy additions only need a one-line entry.
+# ---------------------------------------------------------------------------
+
+_SLOW_TESTS = {
+    # >= ~10s call time on the 8-device CPU mesh (pytest --durations)
+    "test_compact_gradients_match",
+    "test_sharded_fused_loss_matches_unsharded",
+    "test_fused_texture_matches_unfused",
+    "test_refine_with_fused_loss",
+    "test_fused_loss_path_matches_unfused",
+    "test_shard_map_runs_local_batch",
+    "test_texture_crop_matches_full",
+    "test_fused_loss_matches",
+    "test_fused_matches_unfused",
+    "test_refine_bop_frame",
+    "test_compact_matches_binned",
+    "test_pose_gradients_match",
+    "test_sharded_matches_unsharded",
+    "test_bin_overflow_telemetry",
+    "test_outputs_match",
+    "test_texture_map_refinement",
+    "test_v3_matches_v2_gradients",
+    "test_vertex_color_refinement",
+    "test_texture_appearance_writeback",
+    "test_appearance_writeback",
+    "test_planar_kernel_exact_on_shared_coefficients",
+    "test_render_bit_equal",
+    "test_gradient_matches_fd",
+    "test_pose_recovery_translation",
+    "test_sharded_appearance_matches_unsharded",
+    "test_sweep_real_mode",
+    "test_pose_gradients_nonzero",
+    "test_compact_overflow_degrades_gracefully",
+    "test_refine_with_restarts",
+    "test_closed_mesh_cull_is_exact",
+    "test_gradients_finite_everywhere",
+    "test_v3_matches_v2_outputs",
+    "test_pose_recovery_rotation",
+    "test_area_rate_matches_analytic",
+    "test_interior_shared_edge_is_noop",
+    "test_overflow_auto_recovery",
+    "test_overflow_recovery_disabled_warns_only",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+
+    for item in items:
+        base = item.name.split("[")[0]
+        if base in _SLOW_TESTS:
+            item.add_marker(_pytest.mark.slow)

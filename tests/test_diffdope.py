@@ -328,3 +328,35 @@ def test_texture_appearance_writeback():
     after = np.asarray(mesh.tex)
     assert after.shape == before.shape
     assert np.abs(after - before).max() > 1e-5, "texture did not move"
+
+
+def test_overflow_auto_recovery():
+    """Forcing an undersized bin capacity must trigger the auto-recovery
+    path (grow capacity, re-run) and end with a clean (overflow-free)
+    refinement — parity with nvdiffrast, which has no capacity cap to
+    overflow (reference diffdope.py:198-200)."""
+    d = _make_ddope(batchsize=2, nb_iterations=2)
+    d.raster_impl = "pallas"
+    d.cfg["tpu"]["raster_impl"] = "pallas"
+    # icosphere(1) has 80 triangles concentrated in a couple of tiles at
+    # this resolution; K=16 guarantees dropped (tile, triangle) pairs
+    d.max_tris_per_tile = 16
+    d.run_optimization()
+    # the recovery loop grew the capacity...
+    assert getattr(d, "_capacity_boost", 1.0) > 1.0
+    # ...and the final recorded run is overflow-free
+    assert d._overflow_max(d._result) == 0
+    assert np.isfinite(np.asarray(d._result.total_loss)).all()
+
+
+def test_overflow_recovery_disabled_warns_only():
+    """tpu.overflow_recovery=false restores the warn-only behavior: the
+    degraded run is kept (telemetry shows the overflow)."""
+    d = _make_ddope(batchsize=2, nb_iterations=1)
+    d.raster_impl = "pallas"
+    d.cfg["tpu"]["raster_impl"] = "pallas"
+    d.cfg["tpu"]["overflow_recovery"] = False
+    d.max_tris_per_tile = 16
+    d.run_optimization()
+    assert getattr(d, "_capacity_boost", 1.0) == 1.0
+    assert d._overflow_max(d._result) > 0

@@ -145,3 +145,195 @@ class TestLoadMesh:
         assert m.uv is not None and m.uv_idx is not None
         # V flip applied
         np.testing.assert_allclose(m.uv[2], [0.2, 1 - 0.4], atol=1e-6)
+
+
+def _make_glb(tmp_path, with_texture=False):
+    """Author a minimal valid GLB (two triangles, uv, vertex colors,
+    optional embedded PNG baseColorTexture) without external tooling."""
+    import json
+    import struct
+
+    import cv2
+
+    pos = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32
+    )
+    uv = np.array(
+        [[0.25, 0.25], [0.75, 0.25], [0.25, 0.75], [0.75, 0.75]], np.float32
+    )
+    col = np.array(
+        [[1, 0, 0], [0, 1, 0], [0, 0, 1], [1, 1, 0]], np.float32
+    )
+    idx = np.array([0, 1, 2, 2, 1, 3], np.uint16)
+
+    def pad4(b, fill=b"\0"):
+        return b + fill * (-len(b) % 4)
+
+    bin_parts, views, accessors = [], [], []
+    offset = 0
+
+    def add(data, target, acc=None):
+        nonlocal offset
+        raw = pad4(data.tobytes() if hasattr(data, "tobytes") else data)
+        views.append({"buffer": 0, "byteOffset": offset,
+                      "byteLength": len(raw), "target": target})
+        bin_parts.append(raw)
+        offset += len(raw)
+        if acc:
+            acc["bufferView"] = len(views) - 1
+            accessors.append(acc)
+        return len(accessors) - 1
+
+    a_pos = add(pos, 34962, {"componentType": 5126, "count": 4,
+                             "type": "VEC3",
+                             "min": pos.min(0).tolist(),
+                             "max": pos.max(0).tolist()})
+    a_uv = add(uv, 34962, {"componentType": 5126, "count": 4, "type": "VEC2"})
+    a_col = add(col, 34962, {"componentType": 5126, "count": 4, "type": "VEC3"})
+    a_idx = add(idx, 34963, {"componentType": 5123, "count": 6,
+                             "type": "SCALAR"})
+    prim = {"attributes": {"POSITION": a_pos, "TEXCOORD_0": a_uv,
+                           "COLOR_0": a_col}, "indices": a_idx, "mode": 4}
+    gltf = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}],
+        "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [prim]}],
+        "bufferViews": views,
+        "accessors": accessors,
+    }
+    if with_texture:
+        teximg = np.zeros((8, 8, 3), np.uint8)
+        teximg[:4] = (255, 0, 0)  # top rows red (BGR-written below as RGB)
+        teximg[4:] = (0, 0, 255)
+        ok, png = cv2.imencode(".png", cv2.cvtColor(teximg, cv2.COLOR_RGB2BGR))
+        assert ok
+        add(png.tobytes(), 0)  # image bufferView (no accessor)
+        gltf["images"] = [{"bufferView": len(views) - 1, "mimeType": "image/png"}]
+        gltf["samplers"] = [{}]
+        gltf["textures"] = [{"source": 0, "sampler": 0}]
+        gltf["materials"] = [
+            {"pbrMetallicRoughness": {"baseColorTexture": {"index": 0}}}
+        ]
+        prim["material"] = 0
+    gltf["buffers"] = [{"byteLength": offset}]
+
+    js = pad4(json.dumps(gltf).encode(), b" ")
+    bi = b"".join(bin_parts)
+    total = 12 + 8 + len(js) + 8 + len(bi)
+    glb = (
+        struct.pack("<4sII", b"glTF", 2, total)
+        + struct.pack("<II", len(js), 0x4E4F534A) + js
+        + struct.pack("<II", len(bi), 0x004E4942) + bi
+    )
+    p = tmp_path / ("tex.glb" if with_texture else "plain.glb")
+    p.write_bytes(glb)
+    return p, pos, col
+
+
+def test_glb_roundtrip(tmp_path):
+    """GLB loading (reference gets this free from trimesh.load,
+    diffdope.py:784): vertices/faces/colors survive."""
+    from diffdope_tpu.mesh import load_glb, load_mesh
+
+    p, pos, col = _make_glb(tmp_path)
+    data = load_glb(p)
+    np.testing.assert_allclose(data["vertices"], pos)
+    assert data["faces"].shape == (2, 3)
+    np.testing.assert_allclose(data["colors"], col)
+
+    m = load_mesh(p, scale=2.0, fix_winding=False)
+    assert m.num_vertices == 4 and m.num_triangles == 2
+    np.testing.assert_allclose(m.pos[:4], pos * 2.0)
+    assert m.vtx_color is not None
+
+
+def test_glb_embedded_texture(tmp_path):
+    """Embedded PNG baseColorTexture decodes; glTF uv needs NO V flip (v=0
+    = image top), so uv (0,0) must sample the top-left texel."""
+    from diffdope_tpu.mesh import load_mesh
+
+    p, _, _ = _make_glb(tmp_path, with_texture=True)
+    m = load_mesh(p, scale=1.0, fix_winding=False)
+    assert m.tex is not None and m.tex.shape == (8, 8, 3)
+    # top rows red in the authored image
+    np.testing.assert_allclose(m.tex[0, 0], [1, 0, 0], atol=0.02)
+    # vertex 0 (uv v=0.25, upper half) samples RED, vertex 2 (v=0.75,
+    # lower half) BLUE — a V flip would swap them
+    assert m.corner_colors is not None
+    np.testing.assert_allclose(m.corner_colors[0, 0], [1, 0, 0], atol=0.05)
+    np.testing.assert_allclose(m.corner_colors[0, 2], [0, 0, 1], atol=0.05)
+
+
+def test_ply_quad_faces(tmp_path):
+    """Quad-faced PLY fan-triangulates (ascii + binary)."""
+    from diffdope_tpu.mesh import load_ply
+
+    # ascii, uniform quads
+    p = tmp_path / "quads.ply"
+    p.write_text("\n".join([
+        "ply", "format ascii 1.0",
+        "element vertex 4",
+        "property float x", "property float y", "property float z",
+        "element face 1",
+        "property list uchar int vertex_indices",
+        "end_header",
+        "0 0 0", "1 0 0", "1 1 0", "0 1 0",
+        "4 0 1 2 3",
+    ]) + "\n")
+    d = load_ply(p)
+    assert d["faces"].shape == (2, 3)
+    np.testing.assert_array_equal(d["faces"], [[0, 1, 2], [0, 2, 3]])
+
+    # ascii, MIXED tri + quad (ragged rows)
+    p2 = tmp_path / "mixed.ply"
+    p2.write_text("\n".join([
+        "ply", "format ascii 1.0",
+        "element vertex 5",
+        "property float x", "property float y", "property float z",
+        "element face 2",
+        "property list uchar int vertex_indices",
+        "end_header",
+        "0 0 0", "1 0 0", "1 1 0", "0 1 0", "2 2 0",
+        "3 0 1 4",
+        "4 0 1 2 3",
+    ]) + "\n")
+    d2 = load_ply(p2)
+    assert d2["faces"].shape == (3, 3)
+
+    # binary little endian, uniform quads
+    import struct as _st
+
+    header = ("ply\nformat binary_little_endian 1.0\n"
+              "element vertex 4\n"
+              "property float x\nproperty float y\nproperty float z\n"
+              "element face 1\n"
+              "property list uchar int vertex_indices\nend_header\n")
+    body = b"".join(
+        _st.pack("<3f", *v) for v in [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0)]
+    ) + _st.pack("<B4i", 4, 0, 1, 2, 3)
+    p3 = tmp_path / "quads_bin.ply"
+    p3.write_bytes(header.encode() + body)
+    d3 = load_ply(p3)
+    assert d3["faces"].shape == (2, 3)
+
+
+def test_ply_no_normals(tmp_path):
+    """Normal-less PLY: vertex normals are computed at load."""
+    from diffdope_tpu.mesh import load_mesh
+
+    p = tmp_path / "nonormals.ply"
+    p.write_text("\n".join([
+        "ply", "format ascii 1.0",
+        "element vertex 3",
+        "property float x", "property float y", "property float z",
+        "element face 1",
+        "property list uchar int vertex_indices",
+        "end_header",
+        "0 0 0", "1 0 0", "0 1 0",
+        "3 0 1 2",
+    ]) + "\n")
+    m = load_mesh(p, fix_winding=False)
+    nrm = m.vtx_normals[:3]
+    np.testing.assert_allclose(np.linalg.norm(nrm, axis=1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.abs(nrm[:, 2]), 1.0, atol=1e-5)

@@ -157,3 +157,68 @@ def test_history_shapes_and_argmin():
     assert result.losses_values["depth"].shape == (6, b)
     idx = int(argmin_hypothesis(result.losses_values))
     assert 0 <= idx < b
+
+
+def test_jitter_pose_params():
+    """Seeded init diversification: hypothesis 0 pinned, magnitudes bounded,
+    unit quats, deterministic, and 0-magnitude = identity."""
+    from diffdope_tpu.optimize import jitter_pose_params, pose_params
+
+    q = np.array([0.0, 0.0, 0.0, 1.0], np.float32)
+    t = np.array([0.1, -0.2, -2.0], np.float32)
+    p = pose_params(q, t, 16)
+    key = jax.random.PRNGKey(7)
+
+    # no-op when both magnitudes are 0 (reference parity default)
+    assert jitter_pose_params(p, key, 0.0, 0.0) is p
+
+    pj = jitter_pose_params(p, key, 15.0, 0.05)
+    qj = np.stack([np.asarray(pj[k]) for k in ("qx", "qy", "qz", "qw")], -1)
+    tj = np.stack([np.asarray(pj[k]) for k in ("x", "y", "z")], -1)
+    # hypothesis 0 unjittered
+    np.testing.assert_allclose(qj[0], q, atol=1e-6)
+    np.testing.assert_allclose(tj[0], t, atol=1e-6)
+    # the rest actually moved, within bounds
+    np.testing.assert_allclose(np.linalg.norm(qj, axis=-1), 1.0, atol=1e-5)
+    dots = np.abs(qj @ q)
+    angles = 2 * np.arccos(np.clip(dots, -1, 1))
+    assert (angles[1:] <= np.deg2rad(15.0) + 1e-4).all()
+    assert (angles[1:] > 0).any()
+    dt = np.linalg.norm(tj - t, axis=-1)
+    assert (dt[1:] <= 0.05 + 1e-6).all() and (dt[1:] > 0).any()
+    # deterministic
+    pj2 = jitter_pose_params(p, key, 15.0, 0.05)
+    np.testing.assert_array_equal(np.asarray(pj["qx"]), np.asarray(pj2["qx"]))
+
+
+def test_refine_with_restarts():
+    """Restart-from-argmin: same total step count, finite losses, and the
+    post-restart segment starts from the previous argmin's neighborhood."""
+    from diffdope_tpu.optimize import refine_with_restarts
+    from diffdope_tpu.testing import synthetic_scene
+
+    b = 8
+    scene = synthetic_scene(
+        subdiv=1, resolution=(32, 32), batchsize=b, seed=5,
+        raster_impl="reference", perturb_deg=25.0,
+    )
+    loss_fns, weights = select_losses({"l1_mask": True, "weight_mask": 1.0})
+    lrs = draw_learning_rates(jax.random.PRNGKey(1), b, (0.5, 2.0))
+
+    result = refine_with_restarts(
+        scene["params0"], scene["render_fn"], loss_fns, scene["gt"], lrs,
+        weights, nb_iterations=5, restarts=1, restart_jitter_deg=5.0,
+        restart_jitter_trans=0.01, key=jax.random.PRNGKey(2),
+        base_lr=0.05, lr_decay=0.1, optimizer="adam",
+    )
+    assert result.mtx_history.shape == (6, b, 4, 4)
+    assert result.total_loss.shape == (6,)
+    tl = np.asarray(result.total_loss)
+    assert np.isfinite(tl).all()
+    for k, v in result.losses_values.items():
+        assert v.shape == (6, b), (k, v.shape)
+    # after the restart (step 3) all hypotheses sit near one pose: the
+    # spread of translations collapses vs the perturbed-but-shared init
+    mtx = np.asarray(result.mtx_history)
+    spread_post = np.ptp(mtx[3, :, :3, 3], axis=0).max()
+    assert spread_post <= 2 * 0.01 + 0.05, spread_post
