@@ -121,6 +121,22 @@ _SLOW_TESTS = {
     "test_interior_shared_edge_is_noop",
     "test_overflow_auto_recovery",
     "test_overflow_recovery_disabled_warns_only",
+    # 3-10s tier (second pruning pass)
+    "test_history_shapes_and_argmin",
+    "test_gradient_not_truncated_with_auto",
+    "test_bary_gradients_match_fd",
+    "test_ids_and_rows_match_reference",
+    "test_v2_eval_variants_match",
+    "test_batched_poses_differ",
+    "test_ids_match_reference",
+    "test_v2_lean_eval_matches",
+    "test_grad_matches_plain_gather",
+    "test_v2_qrows_variants_match",
+    "test_validated_reading_equals_ours",
+    "test_mip_gradients_flow",
+    "test_empty_image_is_noop",
+    "test_exact_level_matches_direct_bilinear",
+    "test_uv_gradients",
 }
 
 

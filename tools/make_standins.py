@@ -126,7 +126,74 @@ def make_sym(n_seg: int = 64, n_rings: int = 17, radius_mm: float = 35.0,
     return np.asarray(verts), np.asarray(faces), np.asarray(colors)
 
 
+def write_ply_textured(path, verts_mm, faces, uv, texture_file):
+    """Ascii PLY with texture_u/texture_v vertex properties + a TextureFile
+    comment — the layout `load_ply` resolves to (tex, uv, uv_idx)."""
+    v = np.asarray(verts_mm, np.float64)
+    f = np.asarray(faces, np.int64)
+    t = np.asarray(uv, np.float64)
+    lines = [
+        "ply",
+        "format ascii 1.0",
+        f"comment TextureFile {texture_file}",
+        f"element vertex {len(v)}",
+        "property float x",
+        "property float y",
+        "property float z",
+        "property float texture_u",
+        "property float texture_v",
+        f"element face {len(f)}",
+        "property list uchar int vertex_indices",
+        "end_header",
+    ]
+    for p, st in zip(v, t):
+        lines.append(
+            f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} {st[0]:.6f} {st[1]:.6f}"
+        )
+    for tri in f:
+        lines.append(f"3 {tri[0]} {tri[1]} {tri[2]}")
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
+def make_texture(kind: str, size: int = 1024, seed: int = 3) -> np.ndarray:
+    """Synthetic RGB textures with controlled frequency content."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:size, 0:size] / size
+    if kind == "checker":
+        # high-frequency: 32-px checker + per-cell random tint (the worst
+        # case for the per-corner bake, which low-passes inside triangles)
+        cells = 32
+        cx = (xx * cells).astype(int)
+        cy = (yy * cells).astype(int)
+        base = ((cx + cy) % 2).astype(np.float64)
+        tint = rng.uniform(0.2, 1.0, size=(cells, cells, 3))
+        img = base[..., None] * tint[cy, cx] + (1 - base[..., None]) * 0.08
+    elif kind == "smooth":
+        # low-frequency: a few broad gaussian color blobs (the best case)
+        img = np.full((size, size, 3), 0.25)
+        for _ in range(6):
+            cx0, cy0 = rng.uniform(0, 1, 2)
+            sig = rng.uniform(0.15, 0.4)
+            col = rng.uniform(0, 1, 3)
+            g = np.exp(-(((xx - cx0) ** 2 + (yy - cy0) ** 2) / (2 * sig**2)))
+            img = img + g[..., None] * col * 0.6
+        img = img / img.max()
+    else:
+        raise ValueError(kind)
+    return np.clip(img, 0, 1).astype(np.float32)
+
+
+def make_asym_uv(subdiv: int = 4, radius_mm: float = 50.0, seed: int = 11):
+    """The lumpy asym geometry with seam-free planar uv (u,v from x,y)."""
+    v, f, _ = make_asym(subdiv, radius_mm, seed)
+    lo, hi = v[:, :2].min(0), v[:, :2].max(0)
+    uv = (v[:, :2] - lo) / (hi - lo)
+    return v, f, uv
+
+
 def main(outdir="data/standins"):
+    import cv2
+
     out = Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
     v, f, c = make_asym()
@@ -137,6 +204,17 @@ def main(outdir="data/standins"):
     write_ply_ascii(out / "standin_sym.ply", v, f, c)
     print(f"standin_sym.ply: {len(v)} verts, {len(f)} tris, "
           f"extent {np.ptp(v, 0).round(1)} mm")
+    v, f, uv = make_asym_uv()
+    for kind in ("checker", "smooth"):
+        tex = make_texture(kind)
+        png = f"standin_{kind}.png"
+        cv2.imwrite(
+            str(out / png),
+            cv2.cvtColor((tex * 255).astype(np.uint8), cv2.COLOR_RGB2BGR),
+        )
+        write_ply_textured(out / f"standin_tex_{kind}.ply", v, f, uv, png)
+        print(f"standin_tex_{kind}.ply + {png}: {len(v)} verts, "
+              f"{len(f)} tris, 1024^2 texture")
 
 
 if __name__ == "__main__":
