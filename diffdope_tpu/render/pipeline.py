@@ -226,10 +226,23 @@ def render_batch(
                     bin_overflow = c_ovf
                 else:
                     bin_overflow = bin_overflow + c_ovf
-                packed_b = pack_binned(
-                    pos_c, mvp, mtx, flat, attr_corner_vals, sil,
-                    degenerate, t_count,
-                )
+                packed_b = None
+                if os.environ.get("DD_PACK", "pallas") == "pallas":
+                    # fused Pallas pack (render/pack_kernel.py): the whole
+                    # lane chain in one kernel, d_packed -> pose in another
+                    from diffdope_tpu.render.pack_kernel import (
+                        pack_binned_auto,
+                    )
+
+                    packed_b = pack_binned_auto(
+                        pos_c, mvp, mtx, flat, attr_corner_vals, sil,
+                        degenerate, t_count, interpret,
+                    )
+                if packed_b is None:
+                    packed_b = pack_binned(
+                        pos_c, mvp, mtx, flat, attr_corner_vals, sil,
+                        degenerate, t_count,
+                    )
                 ids, rows = raster_gather_rows_compact(
                     packed_b, counts, off_c, usedc, tuple(resolution),
                     tuple(tile_hw), idx.shape[1] // kc, interpret,
@@ -563,10 +576,22 @@ def make_fused_loss(
                     bin_overflow = c_ovf
                 else:
                     bin_overflow = bin_overflow + c_ovf
-                packed_b = pack_binned(
-                    pos_c, mvp, mtx, flat, attr_corner_vals, sil,
-                    degenerate, t_count,
-                )
+                packed_b = None
+                if os.environ.get("DD_PACK", "pallas") == "pallas":
+                    # fused Pallas pack — see render_batch's compact site
+                    from diffdope_tpu.render.pack_kernel import (
+                        pack_binned_auto,
+                    )
+
+                    packed_b = pack_binned_auto(
+                        pos_c, mvp, mtx, flat, attr_corner_vals, sil,
+                        degenerate, t_count, interpret,
+                    )
+                if packed_b is None:
+                    packed_b = pack_binned(
+                        pos_c, mvp, mtx, flat, attr_corner_vals, sil,
+                        degenerate, t_count,
+                    )
                 ids, rows = raster_gather_rows_compact(
                     packed_b, counts, off_c, usedc, tuple(resolution),
                     tuple(tile_hw), idx.shape[1] // kc, interpret, True,
