@@ -163,24 +163,27 @@ def _fwd_pack_kernel(
 
 
 def _bwd_pack_kernel(
-    mvpm_ref,   # scalar prefetch (B, 20)
+    mvpm_ref,   # (BB, 20) VMEM block of per-hypothesis mvp/mtx rows
     tab_ref,    # (R, CB)
     g_ref,      # (BB, PACKED_WIDTH, CB) cotangent
     dout_ref,   # (BB, 24) accumulated [d_mvp 16, d_mtx2 16-18, pad]
     *, n_ch: int, bb: int, cb: int, ntk: int,
 ):
-    bi = pl.program_id(0)
     ji = pl.program_id(1)
 
     # mask tail columns of a non-divisible final block: their tab/g reads
     # are out-of-bounds garbage (possibly NaN — a bare multiplicative mask
-    # would keep NaN) and must not reach the reductions
+    # would keep NaN) and must not reach the reductions.  All value arrays
+    # are (BB, CB): hypotheses on sublanes, bin slots on lanes.
     col = jax.lax.broadcasted_iota(jnp.int32, (1, cb), 1) + ji * cb
     valid = col < ntk
     lane24 = jax.lax.broadcasted_iota(jnp.int32, (1, 24), 1)
 
     def row(r):
-        return jnp.where(valid, tab_ref[r : r + 1, :], 0.0)
+        return jnp.where(valid, tab_ref[r : r + 1, :], 0.0)  # (1, CB)
+
+    def m(k):
+        return mvpm_ref[:, k : k + 1]  # (BB, 1)
 
     pk = [[row(3 * k + c) for c in range(3)] for k in range(3)]
     att_row = 9
@@ -191,127 +194,120 @@ def _bwd_pack_kernel(
     def _init():
         dout_ref[...] = jnp.zeros_like(dout_ref)
 
-    rows_out = []
-    for s in range(bb):
-        b = bi * bb + s
+    def coord(r):
+        return [
+            m(4 * r + 0) * pk[k][0] + m(4 * r + 1) * pk[k][1]
+            + m(4 * r + 2) * pk[k][2] + m(4 * r + 3)
+            for k in range(3)
+        ]
 
-        def coord(r):
-            m0 = mvpm_ref[b, 4 * r + 0]
-            m1 = mvpm_ref[b, 4 * r + 1]
-            m2 = mvpm_ref[b, 4 * r + 2]
-            m3 = mvpm_ref[b, 4 * r + 3]
-            return [
-                m0 * pk[k][0] + m1 * pk[k][1] + m2 * pk[k][2] + m3
-                for k in range(3)
-            ]
+    x, y, z, w = coord(0), coord(1), coord(2), coord(3)
 
-        x, y, z, w = coord(0), coord(1), coord(2), coord(3)
-
-        def cross(j, k):
-            return (
-                y[j] * w[k] - w[j] * y[k],
-                w[j] * x[k] - x[j] * w[k],
-                x[j] * y[k] - y[j] * x[k],
-            )
-
-        c0r = cross(1, 2)
-        c1r = cross(2, 0)
-        c2r = cross(0, 1)
-        cm = (
-            tuple(c * keep for c in c0r),
-            tuple(c * keep for c in c1r),
-            tuple(c * keep for c in c2r),
+    def cross(j, k):
+        return (
+            y[j] * w[k] - w[j] * y[k],
+            w[j] * x[k] - x[j] * w[k],
+            x[j] * y[k] - y[j] * x[k],
         )
 
-        def g(lane):
-            return jnp.where(valid, g_ref[s, lane : lane + 1, :], 0.0)
+    c0r = cross(1, 2)
+    c1r = cross(2, 0)
+    c2r = cross(0, 1)
+    cm = (
+        tuple(c * keep for c in c0r),
+        tuple(c * keep for c in c1r),
+        tuple(c * keep for c in c2r),
+    )
 
-        # adjoints of the masked cross planes C_mi: direct lanes 0-8,
-        # zc lanes 9-11, attr lanes, zrot lanes
-        g_zc = [g(9 + i) for i in range(3)]
-        zr_base = 16 + 3 * n_ch
-        g_zr = [g(zr_base + i) for i in range(3)]
-        r0 = mvpm_ref[b, 16]
-        r1 = mvpm_ref[b, 17]
-        r2 = mvpm_ref[b, 18]
-        zr = [r0 * pk[k][0] + r1 * pk[k][1] + r2 * pk[k][2] for k in range(3)]
+    def g(lane):
+        return jnp.where(valid, g_ref[:, lane, :], 0.0)  # (BB, CB)
 
-        dC = []
-        for m in range(3):
-            drow = []
-            for i in range(3):
-                d = g(3 * m + i) + z[m] * g_zc[i] + zr[m] * g_zr[i]
-                for c in range(n_ch):
-                    a_mc = row(att_row + m * n_ch + c)
-                    d = d + a_mc * g(16 + 3 * c + i)
-                drow.append(d)
-            dC.append(drow)
-        d_z = [
-            cm[m][0] * g_zc[0] + cm[m][1] * g_zc[1] + cm[m][2] * g_zc[2]
-            for m in range(3)
-        ]
-        d_zr = [
-            cm[m][0] * g_zr[0] + cm[m][1] * g_zr[1] + cm[m][2] * g_zr[2]
-            for m in range(3)
-        ]
+    # adjoints of the masked cross planes C_mi: direct lanes 0-8,
+    # zc lanes 9-11, attr lanes, zrot lanes
+    g_zc = [g(9 + i) for i in range(3)]
+    zr_base = 16 + 3 * n_ch
+    g_zr = [g(zr_base + i) for i in range(3)]
+    zr = [
+        m(16) * pk[k][0] + m(17) * pk[k][1] + m(18) * pk[k][2]
+        for k in range(3)
+    ]
 
-        # det: lane 12.  det = keep * (c0r . (x0, y0, w0))
-        g12 = g(12)
-        g_det = g12 * keep
-        zero = jnp.zeros_like(g_det)
-        d_x = [c0r[0] * g_det, zero, zero]
-        d_y = [c0r[1] * g_det, zero, zero]
-        d_w = [c0r[2] * g_det, zero, zero]
+    dC = []
+    for mi in range(3):
+        drow = []
+        for i in range(3):
+            d = g(3 * mi + i) + z[mi] * g_zc[i] + zr[mi] * g_zr[i]
+            for c in range(n_ch):
+                a_mc = row(att_row + mi * n_ch + c)
+                d = d + a_mc * g(16 + 3 * c + i)
+            drow.append(d)
+        dC.append(drow)
+    d_z = [
+        cm[mi][0] * g_zc[0] + cm[mi][1] * g_zc[1] + cm[mi][2] * g_zc[2]
+        for mi in range(3)
+    ]
+    d_zr = [
+        cm[mi][0] * g_zr[0] + cm[mi][1] * g_zr[1] + cm[mi][2] * g_zr[2]
+        for mi in range(3)
+    ]
 
-        # raw cross adjoints: d_cmr = keep * dC_m, plus det -> c0r direct
-        dcr = [[keep * dC[m][i] for i in range(3)] for m in range(3)]
-        dcr[0][0] = dcr[0][0] + x[0] * g_det
-        dcr[0][1] = dcr[0][1] + y[0] * g_det
-        dcr[0][2] = dcr[0][2] + w[0] * g_det
+    # det: lane 12.  det = keep * (c0r . (x0, y0, w0))
+    g_det = g(12) * keep
+    zero = jnp.zeros_like(g_det)
+    d_x = [c0r[0] * g_det, zero, zero]
+    d_y = [c0r[1] * g_det, zero, zero]
+    d_w = [c0r[2] * g_det, zero, zero]
 
-        for m, (j, k) in enumerate(((1, 2), (2, 0), (0, 1))):
-            dX, dY, dZ = dcr[m]
-            # cmX = y_j w_k - w_j y_k
-            d_y[j] = d_y[j] + w[k] * dX
-            d_w[k] = d_w[k] + y[j] * dX
-            d_w[j] = d_w[j] - y[k] * dX
-            d_y[k] = d_y[k] - w[j] * dX
-            # cmY = w_j x_k - x_j w_k
-            d_w[j] = d_w[j] + x[k] * dY
-            d_x[k] = d_x[k] + w[j] * dY
-            d_x[j] = d_x[j] - w[k] * dY
-            d_w[k] = d_w[k] - x[j] * dY
-            # cmZ = x_j y_k - y_j x_k
-            d_x[j] = d_x[j] + y[k] * dZ
-            d_y[k] = d_y[k] + x[j] * dZ
-            d_y[j] = d_y[j] - x[k] * dZ
-            d_x[k] = d_x[k] - y[j] * dZ
+    # raw cross adjoints: d_cmr = keep * dC_m, plus det -> c0r direct
+    dcr = [[keep * dC[mi][i] for i in range(3)] for mi in range(3)]
+    dcr[0][0] = dcr[0][0] + x[0] * g_det
+    dcr[0][1] = dcr[0][1] + y[0] * g_det
+    dcr[0][2] = dcr[0][2] + w[0] * g_det
 
-        # reduce to mvp rows: d_M[r, c] = sum_t sum_k d_coord_r[k] pk[k][c];
-        # build the (1, 24) result row via iota-select (no 1-D vectors)
-        row_adj = (d_x, d_y, d_z, d_w)
-        out_row = jnp.zeros((1, 24), jnp.float32)
-        idx = 0
-        for r in range(4):
-            dk = row_adj[r]
-            for c in range(3):
-                v = jnp.sum(
-                    dk[0] * pk[0][c] + dk[1] * pk[1][c] + dk[2] * pk[2][c]
-                )
-                out_row = out_row + v * (lane24 == idx)
-                idx += 1
-            v = jnp.sum(dk[0] + dk[1] + dk[2])
-            out_row = out_row + v * (lane24 == idx)
-            idx += 1
+    for mi, (j, k) in enumerate(((1, 2), (2, 0), (0, 1))):
+        dX, dY, dZ = dcr[mi]
+        # cmX = y_j w_k - w_j y_k
+        d_y[j] = d_y[j] + w[k] * dX
+        d_w[k] = d_w[k] + y[j] * dX
+        d_w[j] = d_w[j] - y[k] * dX
+        d_y[k] = d_y[k] - w[j] * dX
+        # cmY = w_j x_k - x_j w_k
+        d_w[j] = d_w[j] + x[k] * dY
+        d_x[k] = d_x[k] + w[j] * dY
+        d_x[j] = d_x[j] - w[k] * dY
+        d_w[k] = d_w[k] - x[j] * dY
+        # cmZ = x_j y_k - y_j x_k
+        d_x[j] = d_x[j] + y[k] * dZ
+        d_y[k] = d_y[k] + x[j] * dZ
+        d_y[j] = d_y[j] - x[k] * dZ
+        d_x[k] = d_x[k] - y[j] * dZ
+
+    # reduce to mvp rows: d_M[r, c] = sum_t sum_k d_coord_r[k] pk[k][c];
+    # lane reductions give (BB, 1) columns, placed via iota-select
+    row_adj = (d_x, d_y, d_z, d_w)
+    out = jnp.zeros((bb, 24), jnp.float32)
+    idx = 0
+    for r in range(4):
+        dk = row_adj[r]
         for c in range(3):
             v = jnp.sum(
-                d_zr[0] * pk[0][c] + d_zr[1] * pk[1][c] + d_zr[2] * pk[2][c]
+                dk[0] * pk[0][c] + dk[1] * pk[1][c] + dk[2] * pk[2][c],
+                axis=1, keepdims=True,
             )
-            out_row = out_row + v * (lane24 == idx)
+            out = out + v * (lane24 == idx)
             idx += 1
-        rows_out.append(out_row)
+        v = jnp.sum(dk[0] + dk[1] + dk[2], axis=1, keepdims=True)
+        out = out + v * (lane24 == idx)
+        idx += 1
+    for c in range(3):
+        v = jnp.sum(
+            d_zr[0] * pk[0][c] + d_zr[1] * pk[1][c] + d_zr[2] * pk[2][c],
+            axis=1, keepdims=True,
+        )
+        out = out + v * (lane24 == idx)
+        idx += 1
 
-    dout_ref[...] += jnp.concatenate(rows_out, axis=0)  # (BB, 24)
+    dout_ref[...] += out
 
 
 # ---------------------------------------------------------------------------
@@ -399,23 +395,24 @@ def _run_bwd(mvpm, tab, g, n_ch, interpret):
             _bwd_pack_kernel, n_ch=n_ch, bb=bb, cb=cb, ntk=ntk
         ),
         out_shape=jax.ShapeDtypeStruct((b, 24), jnp.float32),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (tab.shape[0], cb), lambda bi, ji, *_: (0, ji),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (bb, PACKED_WIDTH, cb), lambda bi, ji, *_: (bi, 0, ji),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=pl.BlockSpec(
-                (bb, 24), lambda bi, ji, *_: (bi, 0),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (bb, 20), lambda bi, ji: (bi, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (tab.shape[0], cb), lambda bi, ji: (0, ji),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bb, PACKED_WIDTH, cb), lambda bi, ji: (bi, 0, ji),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bb, 24), lambda bi, ji: (bi, 0),
+            memory_space=pltpu.VMEM,
         ),
         interpret=interpret,
     )(mvpm, tab, g)
@@ -469,11 +466,15 @@ def pack_binned_auto(
     interpret: bool = False,
 ) -> Optional[Array]:
     """pack_binned drop-in on the fused Pallas kernel, or None when the
-    configuration needs the XLA path (traced per-batch vertices, traced
-    per-batch attrs, or a 2-D bin index).  `flat` must be the 1-D compact
-    slot->triangle map."""
+    configuration needs the XLA path (traced per-batch vertices or traced
+    per-batch attrs).  `flat` is the slot->triangle map: the 1-D compact
+    map or the (num_tiles, K) uniform bin index (flattened here exactly as
+    pack_binned does).  Both binned variants MUST share one pack
+    implementation: they are bit-equality-tested against each other, and
+    a mixed XLA/Pallas pack differs by ~1 ulp of fp reassociation, enough
+    to flip z-test winners on silhouette pixels."""
     if flat.ndim != 1:
-        return None
+        flat = flat.reshape(-1)
     if pos_c.ndim == 3 and pos_c.shape[0] != 1:
         return None  # per-batch traced vertices
     if corner_attrs is not None and (

@@ -248,10 +248,21 @@ def render_batch(
                     tuple(tile_hw), idx.shape[1] // kc, interpret,
                 )
             else:
-                packed_b = pack_binned(
-                    pos_c, mvp, mtx, idx, attr_corner_vals, sil, degenerate,
-                    t_count,
-                )
+                packed_b = None
+                if os.environ.get("DD_PACK", "pallas") == "pallas":
+                    from diffdope_tpu.render.pack_kernel import (
+                        pack_binned_auto,
+                    )
+
+                    packed_b = pack_binned_auto(
+                        pos_c, mvp, mtx, idx, attr_corner_vals, sil,
+                        degenerate, t_count, interpret,
+                    )
+                if packed_b is None:
+                    packed_b = pack_binned(
+                        pos_c, mvp, mtx, idx, attr_corner_vals, sil,
+                        degenerate, t_count,
+                    )
                 ids, rows = raster_gather_rows_binned(
                     packed_b, counts, tuple(resolution), tuple(tile_hw),
                     interpret,
@@ -597,10 +608,21 @@ def make_fused_loss(
                     tuple(tile_hw), idx.shape[1] // kc, interpret, True,
                 )
             else:
-                packed_b = pack_binned(
-                    pos_c, mvp, mtx, idx, attr_corner_vals, sil, degenerate,
-                    t_count,
-                )
+                packed_b = None
+                if os.environ.get("DD_PACK", "pallas") == "pallas":
+                    from diffdope_tpu.render.pack_kernel import (
+                        pack_binned_auto,
+                    )
+
+                    packed_b = pack_binned_auto(
+                        pos_c, mvp, mtx, idx, attr_corner_vals, sil,
+                        degenerate, t_count, interpret,
+                    )
+                if packed_b is None:
+                    packed_b = pack_binned(
+                        pos_c, mvp, mtx, idx, attr_corner_vals, sil,
+                        degenerate, t_count,
+                    )
                 ids, rows = raster_gather_rows_binned(
                     packed_b, counts, tuple(resolution), tuple(tile_hw),
                     interpret, True, True,

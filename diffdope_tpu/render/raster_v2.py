@@ -162,13 +162,13 @@ def _pick_qrows(th: int) -> int:
 
 def _fwd_kernel_v2(
     counts_ref, bounds_ref, qwin_ref, xwin_ref,
-    bins_ref, ids_ref, rows_ref, zb_s, ib_s,
+    bins_ref, ids_ref, idpix_ref, rows_ref, zb_s, ib_s,
     *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False, xw=0, cu=1,
     split_eval=False, hoist_eval=False, lean_eval=False, sub=1,
 ):
     return _fwd_kernel_body(
         counts_ref, bounds_ref, qwin_ref, xwin_ref, bins_ref, ids_ref,
-        rows_ref, zb_s, ib_s, th=th, tw=tw, ntx=ntx, h=h, w=w,
+        idpix_ref, rows_ref, zb_s, ib_s, th=th, tw=tw, ntx=ntx, h=h, w=w,
         k_chunk=k_chunk, q_rows=q_rows, eval_bf16=eval_bf16, xw=xw, cu=cu,
         split_eval=split_eval, hoist_eval=hoist_eval, lean_eval=lean_eval,
         sub=sub,
@@ -177,13 +177,13 @@ def _fwd_kernel_v2(
 
 def _fwd_kernel_v2_compact(
     counts_ref, off_ref, used_ref, bounds_ref, qwin_ref, xwin_ref,
-    bins_ref, ids_ref, rows_ref, zb_s, ib_s,
+    bins_ref, ids_ref, idpix_ref, rows_ref, zb_s, ib_s,
     *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False, cu=1,
     split_eval=False, hoist_eval=False, lean_eval=False, totc=0, sub=1,
 ):
     return _fwd_kernel_body(
         counts_ref, bounds_ref, qwin_ref, xwin_ref, bins_ref, ids_ref,
-        rows_ref, zb_s, ib_s, off_ref=off_ref, used_ref=used_ref,
+        idpix_ref, rows_ref, zb_s, ib_s, off_ref=off_ref, used_ref=used_ref,
         th=th, tw=tw, ntx=ntx, h=h, w=w, k_chunk=k_chunk, q_rows=q_rows,
         eval_bf16=eval_bf16, xw=0, cu=cu, split_eval=split_eval,
         hoist_eval=hoist_eval, lean_eval=lean_eval, compact=True, totc=totc,
@@ -193,7 +193,8 @@ def _fwd_kernel_v2_compact(
 
 def _fwd_kernel_body(
     counts_ref, bounds_ref, qwin_ref, xwin_ref,
-    bins_ref, ids_ref, rows_ref, zb_s, ib_s, off_ref=None, used_ref=None,
+    bins_ref, ids_ref, idpix_ref, rows_ref, zb_s, ib_s, off_ref=None,
+    used_ref=None,
     *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False, xw=0, cu=1,
     split_eval=False, hoist_eval=False, lean_eval=False, compact=False,
     totc=0, sub=1,
@@ -497,11 +498,20 @@ def _fwd_kernel_body(
             )
             fg = ib_mat < _BIG
             ids_out = jnp.where(fg, ib_mat.astype(jnp.int32) + 1, 0)
+            # second copy in PIXEL layout — (th, tws)[qi*q + j, x'] =
+            # ids_out[j*tws + x', qi]; one in-VMEM relayout replaces the
+            # whole-image untangle transpose XLA otherwise runs per step
+            # (~1.15 ms at bench scale), and (B, Hp, Wp) ids become a free
+            # reshape of this output
             if sub == 1:
                 ids_ref[0, 0] = ids_out
+                idpix_ref[0] = ids_out.T.reshape(th, tw)
             else:
                 # ids block rows are sub-major: s*q*tws + j*tws + x'
                 ids_ref[0, 0, s * q * tws : (s + 1) * q * tws, :] = ids_out
+                idpix_ref[0, :, s * tws : (s + 1) * tws] = (
+                    ids_out.T.reshape(th, tws)
+                )
         return
 
     # ---- phase A (x-windowed variant, xw > 0): per (chunk, quad), only
@@ -983,7 +993,13 @@ def _fwd_kernel_body(
     jax.lax.fori_loop(0, nq, quad_c, 0)
 
     fg = ib_mat < _BIG  # (q*tw, nq): quad-major, decoded by _untangle_ids
-    ids_ref[0, 0] = jnp.where(fg, ib_mat.astype(jnp.int32) + 1, 0)
+    idsv = jnp.where(fg, ib_mat.astype(jnp.int32) + 1, 0)
+    ids_ref[0, 0] = idsv
+    # second copy in PIXEL layout: (th, tw)[qi*q + j, x'] = idsv[j*tw+x', qi]
+    # — one in-VMEM relayout here replaces the whole-image untangle
+    # transpose XLA otherwise runs per step (~1.15 ms at bench scale); the
+    # (B, Hp, Wp) result is a free reshape of this output
+    idpix_ref[0] = idsv.T.reshape(th, tw)
 
 
 def _bwd_kernel_v2(
@@ -1229,12 +1245,10 @@ def raster_gather_rows_v2(
         ids (B, H, W) int32 (0 = background), rows (B, 32, H, W) planar
         (padded=True: (B, Hp, Wp) / (B, 32, Hp, Wp)).
     """
-    ids_cm, rows, _ = _fwd_v2(
+    _, idpix, rows, _ = _fwd_v2(
         packed, tile_idx, tile_counts, resolution, tile_hw, interpret, gated
     )
-    ids = _untangle_ids(
-        ids_cm, resolution, padded, q=_pick_qrows(tile_hw[0]), tw=tile_hw[1]
-    )
+    ids = idpix if padded else idpix[:, : resolution[0], : resolution[1]]
     if not padded:
         rows = rows[:, :, : resolution[0], : resolution[1]]
     ids = jax.ad_checkpoint.checkpoint_name(ids, "raster_ids")
@@ -1505,6 +1519,11 @@ def _fwd_from_bins(bins, tile_counts, resolution, tile_hw, interpret,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
+                (1, th, tw),
+                lambda bi, ti, *_: (bi, ti // ntx, ti % ntx),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
                 (1, PACKED_WIDTH, th, tw),
                 lambda bi, ti, *_: (bi, 0, ti // ntx, ti % ntx),
                 memory_space=pltpu.VMEM,
@@ -1515,29 +1534,28 @@ def _fwd_from_bins(bins, tile_counts, resolution, tile_hw, interpret,
             pltpu.VMEM((q_rows * tw, nq), jnp.float32),
         ],
     )
-    ids_cm, rows = pl.pallas_call(
+    ids_cm, idpix, rows = pl.pallas_call(
         kernel,
         out_shape=[
             jax.ShapeDtypeStruct(
                 (b, nty, ntx * q_rows * tw, th // q_rows), jnp.int32
             ),
+            jax.ShapeDtypeStruct((b, nty * th, ntx * tw), jnp.int32),
             jax.ShapeDtypeStruct((b, PACKED_WIDTH, nty * th, ntx * tw), jnp.float32),
         ],
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_counts, bounds, qwin, xwin, bins)
-    return ids_cm, rows, bounds
+    return ids_cm, idpix, rows, bounds
 
 
 def _vjp_fwd_v2(packed, tile_idx, tile_counts, inv_pos, inv_valid,
                 resolution, tile_hw, interpret=False, gated=True,
                 padded=False):
-    ids_cm, rows, bounds = _fwd_v2(
+    ids_cm, idpix, rows, bounds = _fwd_v2(
         packed, tile_idx, tile_counts, resolution, tile_hw, interpret, gated
     )
-    ids = _untangle_ids(
-        ids_cm, resolution, padded, q=_pick_qrows(tile_hw[0]), tw=tile_hw[1]
-    )
+    ids = idpix if padded else idpix[:, : resolution[0], : resolution[1]]
     rows_out = rows if padded else rows[:, :, : resolution[0], : resolution[1]]
     res = (packed.shape, tile_idx, tile_counts, ids_cm, inv_pos, inv_valid,
            bounds)
@@ -1676,12 +1694,10 @@ def raster_gather_rows_binned(
 
     Returns: same contract as raster_gather_rows_v2.
     """
-    ids_cm, rows, _ = _fwd_from_bins(
+    _, idpix, rows, _ = _fwd_from_bins(
         bins, tile_counts, resolution, tile_hw, interpret, gated
     )
-    ids = _untangle_ids(
-        ids_cm, resolution, padded, q=_pick_qrows(tile_hw[0]), tw=tile_hw[1]
-    )
+    ids = idpix if padded else idpix[:, : resolution[0], : resolution[1]]
     if not padded:
         rows = rows[:, :, : resolution[0], : resolution[1]]
     ids = jax.ad_checkpoint.checkpoint_name(ids, "raster_ids")
@@ -1691,12 +1707,10 @@ def raster_gather_rows_binned(
 
 def _vjp_fwd_binned(bins, tile_counts, resolution, tile_hw, interpret=False,
                     gated=True, padded=False):
-    ids_cm, rows, bounds = _fwd_from_bins(
+    ids_cm, idpix, rows, bounds = _fwd_from_bins(
         bins, tile_counts, resolution, tile_hw, interpret, gated
     )
-    ids = _untangle_ids(
-        ids_cm, resolution, padded, q=_pick_qrows(tile_hw[0]), tw=tile_hw[1]
-    )
+    ids = idpix if padded else idpix[:, : resolution[0], : resolution[1]]
     rows_out = rows if padded else rows[:, :, : resolution[0], : resolution[1]]
     num_tiles = tile_counts.shape[0]
     k = bins.shape[2] // num_tiles
@@ -1829,6 +1843,11 @@ def _fwd_from_bins_compact(bins_c, tile_counts, off_c, used, resolution,
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
+                (1, th, tw),
+                lambda bi, ti, *_: (bi, ti // ntx, ti % ntx),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
                 (1, PACKED_WIDTH, th, tw),
                 lambda bi, ti, *_: (bi, 0, ti // ntx, ti % ntx),
                 memory_space=pltpu.VMEM,
@@ -1839,12 +1858,13 @@ def _fwd_from_bins_compact(bins_c, tile_counts, off_c, used, resolution,
             pltpu.VMEM((q_rows * tw, nq), jnp.float32),
         ],
     )
-    ids_cm, rows = pl.pallas_call(
+    ids_cm, idpix, rows = pl.pallas_call(
         kernel,
         out_shape=[
             jax.ShapeDtypeStruct(
                 (b, nty, ntx * q_rows * tw, th // q_rows), jnp.int32
             ),
+            jax.ShapeDtypeStruct((b, nty * th, ntx * tw), jnp.int32),
             jax.ShapeDtypeStruct(
                 (b, PACKED_WIDTH, nty * th, ntx * tw), jnp.float32
             ),
@@ -1852,7 +1872,7 @@ def _fwd_from_bins_compact(bins_c, tile_counts, off_c, used, resolution,
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_counts, off_c, used, bounds, qwin, xwin, bins_c)
-    return ids_cm, rows, bounds
+    return ids_cm, idpix, rows, bounds
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
@@ -1878,13 +1898,11 @@ def raster_gather_rows_compact(
 
     Returns: same contract as raster_gather_rows_v2.
     """
-    ids_cm, rows, _ = _fwd_from_bins_compact(
+    _, idpix, rows, _ = _fwd_from_bins_compact(
         bins_c, tile_counts, off_c, used, resolution, tile_hw, ncmax,
         interpret,
     )
-    ids = _untangle_ids(
-        ids_cm, resolution, padded, q=_pick_qrows(tile_hw[0]), tw=tile_hw[1]
-    )
+    ids = idpix if padded else idpix[:, : resolution[0], : resolution[1]]
     if not padded:
         rows = rows[:, :, : resolution[0], : resolution[1]]
     ids = jax.ad_checkpoint.checkpoint_name(ids, "raster_ids")
@@ -1894,13 +1912,11 @@ def raster_gather_rows_compact(
 
 def _vjp_fwd_compact(bins_c, tile_counts, off_c, used, resolution,
                      tile_hw, ncmax, interpret=False, padded=False):
-    ids_cm, rows, bounds = _fwd_from_bins_compact(
+    ids_cm, idpix, rows, bounds = _fwd_from_bins_compact(
         bins_c, tile_counts, off_c, used, resolution, tile_hw, ncmax,
         interpret,
     )
-    ids = _untangle_ids(
-        ids_cm, resolution, padded, q=_pick_qrows(tile_hw[0]), tw=tile_hw[1]
-    )
+    ids = idpix if padded else idpix[:, : resolution[0], : resolution[1]]
     rows_out = rows if padded else rows[:, :, : resolution[0], : resolution[1]]
     tot = bins_c.shape[2]
     tids = jnp.broadcast_to(bins_c[0:1, 13:14, :], (1, 8, tot))

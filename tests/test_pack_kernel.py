@@ -125,18 +125,21 @@ def test_vjp_matches_pack_binned(n_ch):
     )
 
 
-def test_fallbacks_return_none():
+def test_fallbacks_and_2d_index():
     pos_c, mvp, mtx, flat, attrs, degen, t = _problem()
     sil = _sil(pos_c, mvp, degen)
-    # 2-D bin index -> None
-    assert (
-        pack_binned_auto(
-            pos_c, mvp, mtx, flat.reshape(10, 30), attrs, sil, degen, t,
-            interpret=True,
-        )
-        is None
+    # (num_tiles, K) uniform bin index is flattened exactly as pack_binned
+    # does — the uniform and compact binned paths must share one pack
+    # implementation (bit-equality contract, test_raster_compact)
+    idx2 = flat.reshape(10, 30)
+    got = pack_binned_auto(
+        pos_c, mvp, mtx, idx2, attrs, sil, degen, t, interpret=True
     )
-    # traced per-batch attrs -> None
+    ref = planar.pack_binned(pos_c, mvp, mtx, idx2, attrs, sil, degen, t)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+    # traced per-batch attrs -> None (appearance path keeps XLA pack)
     attrs_b = jnp.broadcast_to(attrs[None], (4,) + attrs.shape)
     assert (
         pack_binned_auto(
