@@ -319,17 +319,11 @@ def _static_table(pos_c, corner_attrs, degenerate, flat, t_count):
     """One-gather static row table (R+2, ntK): 9 pos rows, 3*n_ch attr
     rows, tri-index row (unclamped), degenerate row (mesh padding OR
     sentinel slot).  Mirrors pack_binned's static_rows layout."""
+    from diffdope_tpu.render.planar import static_pack_rows
+
     safe = jnp.minimum(flat, t_count - 1)
     pc = pos_c[0] if pos_c.ndim == 3 else pos_c
-    rows = [pc[k::3, c] for k in range(3) for c in range(3)]
-    n_ch = 0
-    if corner_attrs is not None:
-        n_ch = corner_attrs.shape[-1]
-        rows += [
-            corner_attrs[:, k, c] for k in range(3) for c in range(n_ch)
-        ]
-    if degenerate is not None:
-        rows.append(degenerate.astype(pc.dtype))
+    rows, n_ch = static_pack_rows(pc, corner_attrs, degenerate)
     tab = jnp.take(jnp.stack(rows, axis=0), safe, axis=1)
     tri_f = flat.astype(jnp.float32)[None, :]
     degen_f = flat >= t_count
@@ -477,10 +471,18 @@ def pack_binned_auto(
         flat = flat.reshape(-1)
     if pos_c.ndim == 3 and pos_c.shape[0] != 1:
         return None  # per-batch traced vertices
+    if isinstance(pos_c, jax.core.Tracer):
+        return None  # vertices are being differentiated / traced as inputs
     if corner_attrs is not None and (
-        isinstance(corner_attrs, (list, tuple)) or corner_attrs.ndim != 3
+        isinstance(corner_attrs, (list, tuple))
+        or corner_attrs.ndim != 3
+        or isinstance(corner_attrs, jax.core.Tracer)
     ):
-        return None  # traced per-batch attrs (appearance optimization)
+        # traced attrs (appearance optimization): this kernel's VJP only
+        # covers the pose path (d_mvp/d_mtx) and would silently return
+        # zero attr gradients — keep the XLA pack, whose einsum backward
+        # propagates d_attr (caught by test_pack_kernel / code review r4)
+        return None
     tab, n_ch = _static_table(pos_c, corner_attrs, degenerate, flat, t_count)
     sil_b = jnp.take(sil, jnp.minimum(flat, t_count - 1), axis=1).astype(
         jnp.float32

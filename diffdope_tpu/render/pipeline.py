@@ -51,6 +51,31 @@ from diffdope_tpu.render.texture import texture
 Array = jax.Array
 
 
+def _pack_dispatch(pos_c, mvp, mtx, idx, attr_corner_vals, sil, degenerate,
+                   t_count, interpret):
+    """Bin-ordered table pack: the fused Pallas kernel when eligible
+    (DD_PACK=pallas default; static vertices/attrs), else the XLA
+    planar.pack_binned.  One dispatch for all call sites so the
+    eligibility rules (and the uniform/compact bit-equality contract)
+    can never diverge between them."""
+    import os
+
+    from diffdope_tpu.render.planar import pack_binned
+
+    if os.environ.get("DD_PACK", "pallas") == "pallas":
+        from diffdope_tpu.render.pack_kernel import pack_binned_auto
+
+        packed = pack_binned_auto(
+            pos_c, mvp, mtx, idx, attr_corner_vals, sil, degenerate,
+            t_count, interpret,
+        )
+        if packed is not None:
+            return packed
+    return pack_binned(
+        pos_c, mvp, mtx, idx, attr_corner_vals, sil, degenerate, t_count
+    )
+
+
 def render_batch(
     proj_cam: Array,
     mtx: Array,
@@ -172,7 +197,6 @@ def render_batch(
             compact_bins,
             corner_planes,
             det_planar,
-            pack_binned,
             packed_planar,
         )
 
@@ -226,43 +250,19 @@ def render_batch(
                     bin_overflow = c_ovf
                 else:
                     bin_overflow = bin_overflow + c_ovf
-                packed_b = None
-                if os.environ.get("DD_PACK", "pallas") == "pallas":
-                    # fused Pallas pack (render/pack_kernel.py): the whole
-                    # lane chain in one kernel, d_packed -> pose in another
-                    from diffdope_tpu.render.pack_kernel import (
-                        pack_binned_auto,
-                    )
-
-                    packed_b = pack_binned_auto(
-                        pos_c, mvp, mtx, flat, attr_corner_vals, sil,
-                        degenerate, t_count, interpret,
-                    )
-                if packed_b is None:
-                    packed_b = pack_binned(
-                        pos_c, mvp, mtx, flat, attr_corner_vals, sil,
-                        degenerate, t_count,
-                    )
+                packed_b = _pack_dispatch(
+                    pos_c, mvp, mtx, flat, attr_corner_vals, sil,
+                    degenerate, t_count, interpret,
+                )
                 ids, rows = raster_gather_rows_compact(
                     packed_b, counts, off_c, usedc, tuple(resolution),
                     tuple(tile_hw), idx.shape[1] // kc, interpret,
                 )
             else:
-                packed_b = None
-                if os.environ.get("DD_PACK", "pallas") == "pallas":
-                    from diffdope_tpu.render.pack_kernel import (
-                        pack_binned_auto,
-                    )
-
-                    packed_b = pack_binned_auto(
-                        pos_c, mvp, mtx, idx, attr_corner_vals, sil,
-                        degenerate, t_count, interpret,
-                    )
-                if packed_b is None:
-                    packed_b = pack_binned(
-                        pos_c, mvp, mtx, idx, attr_corner_vals, sil,
-                        degenerate, t_count,
-                    )
+                packed_b = _pack_dispatch(
+                    pos_c, mvp, mtx, idx, attr_corner_vals, sil,
+                    degenerate, t_count, interpret,
+                )
                 ids, rows = raster_gather_rows_binned(
                     packed_b, counts, tuple(resolution), tuple(tile_hw),
                     interpret,
@@ -432,7 +432,6 @@ def make_fused_loss(
         compact_bins,
         corner_planes,
         det_planar,
-        pack_binned,
         packed_planar,
     )
 
@@ -587,42 +586,19 @@ def make_fused_loss(
                     bin_overflow = c_ovf
                 else:
                     bin_overflow = bin_overflow + c_ovf
-                packed_b = None
-                if os.environ.get("DD_PACK", "pallas") == "pallas":
-                    # fused Pallas pack — see render_batch's compact site
-                    from diffdope_tpu.render.pack_kernel import (
-                        pack_binned_auto,
-                    )
-
-                    packed_b = pack_binned_auto(
-                        pos_c, mvp, mtx, flat, attr_corner_vals, sil,
-                        degenerate, t_count, interpret,
-                    )
-                if packed_b is None:
-                    packed_b = pack_binned(
-                        pos_c, mvp, mtx, flat, attr_corner_vals, sil,
-                        degenerate, t_count,
-                    )
+                packed_b = _pack_dispatch(
+                    pos_c, mvp, mtx, flat, attr_corner_vals, sil,
+                    degenerate, t_count, interpret,
+                )
                 ids, rows = raster_gather_rows_compact(
                     packed_b, counts, off_c, usedc, tuple(resolution),
                     tuple(tile_hw), idx.shape[1] // kc, interpret, True,
                 )
             else:
-                packed_b = None
-                if os.environ.get("DD_PACK", "pallas") == "pallas":
-                    from diffdope_tpu.render.pack_kernel import (
-                        pack_binned_auto,
-                    )
-
-                    packed_b = pack_binned_auto(
-                        pos_c, mvp, mtx, idx, attr_corner_vals, sil,
-                        degenerate, t_count, interpret,
-                    )
-                if packed_b is None:
-                    packed_b = pack_binned(
-                        pos_c, mvp, mtx, idx, attr_corner_vals, sil,
-                        degenerate, t_count,
-                    )
+                packed_b = _pack_dispatch(
+                    pos_c, mvp, mtx, idx, attr_corner_vals, sil,
+                    degenerate, t_count, interpret,
+                )
                 ids, rows = raster_gather_rows_binned(
                     packed_b, counts, tuple(resolution), tuple(tile_hw),
                     interpret, True, True,

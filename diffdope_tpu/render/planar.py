@@ -212,6 +212,25 @@ def det_planar(cp: Dict[str, Array], degenerate: Optional[Array] = None) -> Arra
     return det
 
 
+def static_pack_rows(pc, corner_attrs, degenerate):
+    """Rows of the static per-triangle table gathered by bin slot: 9
+    object-space corner coords (row 3k + c), then 3*n_ch per-corner
+    attribute rows (row 9 + k*n_ch + c), then (when present) the
+    degenerate mask.  BOTH pack implementations — :func:`pack_binned`
+    and the fused Pallas pack (render/pack_kernel.py) — read this exact
+    layout, so it lives in exactly one place."""
+    rows = [pc[k::3, c] for k in range(3) for c in range(3)]
+    n_ch = 0
+    if corner_attrs is not None:
+        n_ch = corner_attrs.shape[-1]
+        rows += [
+            corner_attrs[:, k, c] for k in range(3) for c in range(n_ch)
+        ]
+    if degenerate is not None:
+        rows.append(degenerate.astype(pc.dtype))
+    return rows, n_ch
+
+
 def pack_binned(
     pos_c: Array,
     mvp: Array,
@@ -256,18 +275,12 @@ def pack_binned(
     # planes on sublanes and T on lanes, gathered along lanes by `safe`.
     # (Per-plane gathers measured ~2 ms/step of fixed per-op cost each; a
     # corner-tuple (3ntK, 3) gather was worse still — 42x lane padding.)
-    static_rows = [pc[k::3, c] for k in range(3) for c in range(3)]  # 9 pos
     attrs_static = corner_attrs is not None and not isinstance(
         corner_attrs, (list, tuple)
     ) and corner_attrs.ndim == 3
-    n_ch = 0
-    if attrs_static:
-        n_ch = corner_attrs.shape[-1]
-        static_rows += [
-            corner_attrs[:, k, c] for k in range(3) for c in range(n_ch)
-        ]
-    if degenerate is not None:
-        static_rows.append(degenerate.astype(pc.dtype))
+    static_rows, n_ch = static_pack_rows(
+        pc, corner_attrs if attrs_static else None, degenerate
+    )
     tab = jnp.take(jnp.stack(static_rows, axis=0), safe, axis=1)  # (R, ntK)
 
     def row(r):

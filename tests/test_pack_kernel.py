@@ -125,6 +125,64 @@ def test_vjp_matches_pack_binned(n_ch):
     )
 
 
+def test_multi_block_grid_fwd_and_vjp():
+    """ntk > 2048: multiple column blocks per hypothesis with a masked,
+    non-divisible tail — the regime production runs (bench ntK=25856) but
+    the small tests above never enter (single 128-padded block)."""
+    pos_c, mvp, mtx, flat, attrs, degen, t = _problem(ntk=2432)  # 2048+384
+    sil = _sil(pos_c, mvp, degen)
+    ref = planar.pack_binned(pos_c, mvp, mtx, flat, attrs, sil, degen, t)
+    got = pack_binned_auto(
+        pos_c, mvp, mtx, flat, attrs, sil, degen, t, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+    rng = np.random.default_rng(3)
+    g = jnp.asarray(rng.normal(size=(4, 32, 2432)).astype(np.float32))
+    _, ref_vjp = jax.vjp(
+        lambda m: planar.pack_binned(pos_c, m, mtx, flat, attrs, sil,
+                                     degen, t), mvp)
+    _, pal_vjp = jax.vjp(
+        lambda m: pack_binned_auto(pos_c, m, mtx, flat, attrs, sil, degen,
+                                   t, interpret=True), mvp)
+    (d_ref,), (d_pal,) = ref_vjp(g), pal_vjp(g)
+    scale = max(1.0, float(jnp.max(jnp.abs(d_ref))))
+    np.testing.assert_allclose(
+        np.asarray(d_pal) / scale, np.asarray(d_ref) / scale,
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_traced_attrs_keep_gradients():
+    """Appearance optimization traces the shared (T, 3, C) attrs; the
+    Pallas pack's VJP covers only the pose path, so the dispatch MUST
+    fall back to the XLA pack there — otherwise attr gradients silently
+    zero (code-review r4 finding, executed repro)."""
+    from diffdope_tpu.render.pipeline import _pack_dispatch
+
+    pos_c, mvp, mtx, flat, attrs, degen, t = _problem()
+    sil = _sil(pos_c, mvp, degen)
+
+    def loss_via_dispatch(a):
+        packed = _pack_dispatch(
+            pos_c, mvp, mtx, flat, a, sil, degen, t, True
+        )
+        return jnp.sum(packed**2)
+
+    def loss_via_xla(a):
+        packed = planar.pack_binned(pos_c, mvp, mtx, flat, a, sil, degen, t)
+        return jnp.sum(packed**2)
+
+    g_dispatch = jax.grad(loss_via_dispatch)(attrs)
+    g_xla = jax.grad(loss_via_xla)(attrs)
+    assert float(jnp.max(jnp.abs(g_xla))) > 0.0
+    np.testing.assert_allclose(
+        np.asarray(g_dispatch), np.asarray(g_xla), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_fallbacks_and_2d_index():
     pos_c, mvp, mtx, flat, attrs, degen, t = _problem()
     sil = _sil(pos_c, mvp, degen)

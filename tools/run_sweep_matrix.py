@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--max-objects", type=int, default=3)
     ap.add_argument("--init-jitter", default="0,0")
     ap.add_argument("--restarts", type=int, default=0)
+    ap.add_argument("--levels", default=None,
+                    help="comma-separated level subset (default: all three)")
     args = ap.parse_args()
 
     from diffdope_tpu.bop import sweep_perturbation_levels
@@ -85,6 +87,8 @@ def main():
         restarts=args.restarts,
         **proto,
     )
+    if args.levels:
+        config["levels"] = args.levels.split(",")
 
     results = {}
     t_start = time.time()
