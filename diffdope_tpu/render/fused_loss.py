@@ -321,7 +321,9 @@ def _bwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth, with_colors=False):
 
         _, pull = jax.vjp(f, *diff_args)
         grads = pull((dm, dr, dd))
-        d_rows_ref[0] = grads[0][:, 2 : 2 + hs, :]
+        # bf16 cast (raster_loss_compact's DD_DROWS_BF16 path) happens
+        # HERE, once, at the HBM boundary — accumulations stay f32
+        d_rows_ref[0] = grads[0][:, 2 : 2 + hs, :].astype(d_rows_ref.dtype)
         k = 1
         if with_depth:
             d_dpl_ref[0] = grads[k][2 : 2 + hs]
@@ -331,7 +333,7 @@ def _bwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth, with_colors=False):
 
     @pl.when(jnp.logical_not(active))
     def _bg():
-        d_rows_ref[0] = jnp.zeros(d_rows_ref.shape[1:], jnp.float32)
+        d_rows_ref[0] = jnp.zeros(d_rows_ref.shape[1:], d_rows_ref.dtype)
         if with_depth:
             # depth term still differentiates w.r.t. dplane on background:
             # d|0 + dpl| = sign(dpl) * seg0 * mask * dd
@@ -496,6 +498,21 @@ def _vjp_fwd(rows, ids, gt6, dplane, colors, resolution, n_attr, interpret):
 
 def _vjp_bwd(resolution, n_attr, interpret, res, d_sums):
     rows, ids, gt6, dplane, colors = res
+    d_rows, d_dpl, d_cols = backward_pass(
+        rows, ids, gt6, dplane, colors, resolution, n_attr, interpret,
+        d_sums,
+    )
+    d_ids = np.zeros(ids.shape, jax.dtypes.float0)
+    return (d_rows, d_ids, jnp.zeros_like(gt6), d_dpl, d_cols)
+
+
+def backward_pass(rows, ids, gt6, dplane, colors, resolution, n_attr,
+                  interpret, d_sums, d_rows_dtype=jnp.float32):
+    """The fused-loss backward kernel as a plain function: d_sums (B, 3)
+    -> (d_rows, d_dplane, d_colors).  `d_rows_dtype` lets the spanning
+    raster_loss_compact emit the 1.7 GB/step d_rows cotangent in bf16
+    (halving its HBM write + the raster backward's read); the rounding
+    happens once at the HBM boundary, all accumulation stays f32."""
     b, width, hp, wp = rows.shape
     h, w = resolution
     # smaller slabs than the forward: the in-kernel vjp roughly doubles the
@@ -517,7 +534,7 @@ def _vjp_bwd(resolution, n_attr, interpret, res, d_sums):
                       with_colors=with_colors) + [
         pl.BlockSpec((1, 8, 128), lambda bi, si: (bi, 0, 0)),
     ]
-    out_shape = [jax.ShapeDtypeStruct((b, width, hp, wp), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((b, width, hp, wp), d_rows_dtype)]
     out_specs = [
         pl.BlockSpec((1, width, hs, wp), lambda bi, si: (bi, 0, si, 0))
     ]
@@ -546,8 +563,97 @@ def _vjp_bwd(resolution, n_attr, interpret, res, d_sums):
         d_dpl = outs[k]
         k += 1
     d_cols = outs[k] if with_colors else None
-    d_ids = np.zeros(ids.shape, jax.dtypes.float0)
-    return (d_rows, d_ids, jnp.zeros_like(gt6), d_dpl, d_cols)
+    return (d_rows, d_dpl, d_cols)
 
 
 fused_loss_sums.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# spanning op: compact raster + fused loss under ONE custom VJP.
+#
+# Chaining the two public custom_vjp ops forces the d_rows cotangent across
+# an AD boundary whose dtype must match the primal rows (f32) — 1.7 GB/step
+# written by this kernel and read back by the raster backward.  Owning the
+# whole backward here lets that intermediate live in bf16 (DD_DROWS_BF16,
+# default on; numerics: one rounding of the per-pixel cotangents to 8
+# mantissa bits before the f32 indicator-dot accumulation).  With
+# DD_DROWS_BF16=0 this path is bit-identical to the chained ops (same
+# kernels, same inputs — asserted in tests/test_fused_loss.py).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def raster_loss_compact(
+    bins_c: Array,
+    tile_counts: Array,
+    off_c: Array,
+    used: Array,
+    gt6: Array,
+    resolution: Tuple[int, int],
+    tile_hw: Tuple[int, int],
+    ncmax: int,
+    n_attr: int,
+    interpret: bool = False,
+) -> Array:
+    """(B, 3) loss sums from the compact bin table in one differentiable
+    op (rgb+mask path: no dplane/colors — the depth/texture variants keep
+    the chained ops).  Differentiable w.r.t. bins_c; gt6's cotangent is
+    zero by design (see fused_loss_sums)."""
+    sums, _ = _rlc_fwd(
+        bins_c, tile_counts, off_c, used, gt6, resolution, tile_hw, ncmax,
+        n_attr, interpret,
+    )
+    return sums
+
+
+def _rlc_fwd(bins_c, tile_counts, off_c, used, gt6, resolution, tile_hw,
+             ncmax, n_attr, interpret):
+    from diffdope_tpu.render.raster_v2 import _fwd_from_bins_compact
+
+    ids_cm, idpix, rows, bounds = _fwd_from_bins_compact(
+        bins_c, tile_counts, off_c, used, resolution, tile_hw, ncmax,
+        interpret,
+    )
+    sums, _ = _fwd(rows, idpix, gt6, None, None, resolution, n_attr,
+                   interpret)
+    tot = bins_c.shape[2]
+    tids = jnp.broadcast_to(bins_c[0:1, 13:14, :], (1, 8, tot))
+    res = (rows, idpix, gt6, tids, tile_counts, off_c, used, ids_cm, bounds)
+    return sums, res
+
+
+def _rlc_bwd(resolution, tile_hw, ncmax, n_attr, interpret, res, d_sums):
+    import os
+
+    from diffdope_tpu.render.raster_v2 import _compact_dbins
+
+    (rows, idpix, gt6, tids, tile_counts, off_c, used, ids_cm,
+     bounds) = res
+    d_dtype = (
+        jnp.bfloat16
+        if os.environ.get("DD_DROWS_BF16", "1") == "1"
+        else jnp.float32
+    )
+    d_rows, _, _ = backward_pass(
+        rows, idpix, gt6, None, None, resolution, n_attr, interpret,
+        d_sums, d_rows_dtype=d_dtype,
+    )
+    d_bins = _compact_dbins(
+        d_rows, ids_cm, tids, tile_counts, off_c, used, bounds,
+        resolution, tile_hw, interpret, padded=True,
+    )
+
+    def zero_i(shape):
+        return np.zeros(shape, jax.dtypes.float0)
+
+    return (
+        d_bins,
+        zero_i(tile_counts.shape),
+        zero_i(off_c.shape),
+        zero_i(used.shape),
+        jnp.zeros_like(gt6),
+    )
+
+
+raster_loss_compact.defvjp(_rlc_fwd, _rlc_bwd)

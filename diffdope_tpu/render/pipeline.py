@@ -551,6 +551,7 @@ def make_fused_loss(
         import os
 
         bin_overflow = None
+        sums = None  # set early by the spanning raster+loss op
         use_binned = (
             os.environ.get("DD_BINNED", "1") == "1"
             and os.environ.get("DD_RASTER", "v2") != "v3"
@@ -590,10 +591,28 @@ def make_fused_loss(
                     pos_c, mvp, mtx, flat, attr_corner_vals, sil,
                     degenerate, t_count, interpret,
                 )
-                ids, rows = raster_gather_rows_compact(
-                    packed_b, counts, off_c, usedc, tuple(resolution),
-                    tuple(tile_hw), idx.shape[1] // kc, interpret, True,
-                )
+                if (
+                    not texture_mode
+                    and not use_depth
+                    and os.environ.get("DD_SPAN", "1") == "1"
+                ):
+                    # spanning op: raster + loss under ONE custom VJP so
+                    # the 1.7 GB/step d_rows cotangent can cross the
+                    # kernels in bf16 (fused_loss.raster_loss_compact)
+                    from diffdope_tpu.render.fused_loss import (
+                        raster_loss_compact,
+                    )
+
+                    sums = raster_loss_compact(
+                        packed_b, counts, off_c, usedc, gt6,
+                        tuple(resolution), tuple(tile_hw),
+                        idx.shape[1] // kc, n_attr, interpret,
+                    )
+                else:
+                    ids, rows = raster_gather_rows_compact(
+                        packed_b, counts, off_c, usedc, tuple(resolution),
+                        tuple(tile_hw), idx.shape[1] // kc, interpret, True,
+                    )
             else:
                 packed_b = _pack_dispatch(
                     pos_c, mvp, mtx, idx, attr_corner_vals, sil,
@@ -690,10 +709,11 @@ def make_fused_loss(
                     ((0, 0), (0, 0), (ct, hp_ - ct - chh),
                      (cl, wp_ - cl - cww)),
                 )
-        sums = fused_loss_sums(
-            rows, ids, gt6, dplane, colors, tuple(resolution), n_attr,
-            interpret
-        )
+        if sums is None:
+            sums = fused_loss_sums(
+                rows, ids, gt6, dplane, colors, tuple(resolution), n_attr,
+                interpret
+            )
 
         total = jnp.float32(0.0)
         logs = {}

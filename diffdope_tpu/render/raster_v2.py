@@ -1101,26 +1101,34 @@ def _bwd_kernel_body(
         def _build_d4():
             for qi_s in range(nq):
                 r0s = qi_s * q
+                # the astype upcasts a bf16 d_rows cotangent (spanning
+                # raster_loss_compact path) at the VMEM boundary; no-op
+                # for the f32 chained path
+                # per-slice stores, NOT a concat: slices taken at
+                # different sublane indices of drows carry different
+                # vector offsets and tpu.concatenate requires them to
+                # match on non-concat dims ("result/input offset
+                # mismatch"); separate stores let Mosaic relayout each.
+                # The astype upcasts a bf16 d_rows cotangent (spanning
+                # raster_loss_compact path) at the VMEM boundary; no-op
+                # for the f32 chained path.
+                r0d = qi_s * PACKED_WIDTH
                 if sub == 1:
-                    d4s_ref[
-                        qi_s * PACKED_WIDTH : (qi_s + 1) * PACKED_WIDTH, :
-                    ] = jnp.concatenate(
-                        [drows_ref[0, :, r0s + j, :] for j in range(q)],
-                        axis=1,
-                    )
+                    for j in range(q):
+                        d4s_ref[
+                            r0d : r0d + PACKED_WIDTH,
+                            j * tws : (j + 1) * tws,
+                        ] = drows_ref[0, :, r0s + j, :].astype(
+                            d4s_ref.dtype
+                        )
                 else:
-                    d4s_ref[
-                        qi_s * PACKED_WIDTH : (qi_s + 1) * PACKED_WIDTH,
-                        : q * tws,
-                    ] = jnp.concatenate(
-                        [
-                            drows_ref[
-                                0, :, r0s + j, s * tws : (s + 1) * tws
-                            ]
-                            for j in range(q)
-                        ],
-                        axis=1,
-                    )
+                    for j in range(q):
+                        d4s_ref[
+                            r0d : r0d + PACKED_WIDTH,
+                            j * tws : (j + 1) * tws,
+                        ] = drows_ref[
+                            0, :, r0s + j, s * tws : (s + 1) * tws
+                        ].astype(d4s_ref.dtype)
 
         def chunk_body(ci, _, count=count, cb0=cb0, ids_colq=ids_colq,
                        tsub=tsub, s=s):
@@ -1928,6 +1936,26 @@ def _vjp_bwd_compact(resolution, tile_hw, ncmax, interpret, padded, res,
                      cotangents):
     tids, tile_counts, off_c, used, ids_cm, bounds = res
     _, d_rows = cotangents
+    d_bins = _compact_dbins(
+        d_rows, ids_cm, tids, tile_counts, off_c, used, bounds,
+        resolution, tile_hw, interpret, padded,
+    )
+
+    def zero_i(shape):
+        return np.zeros(shape, jax.dtypes.float0)
+
+    return (
+        d_bins,
+        zero_i(tile_counts.shape),
+        zero_i(off_c.shape),
+        zero_i(used.shape),
+    )
+
+
+def _compact_dbins(d_rows, ids_cm, tids, tile_counts, off_c, used, bounds,
+                   resolution, tile_hw, interpret, padded):
+    """Compact backward kernel invocation: cotangent rows image (f32 or
+    bf16 — the kernel upcasts at its read) -> (B, 32, tot) d_bins."""
     b = d_rows.shape[0]
     tot = tids.shape[2]
     h, w = resolution
@@ -1981,22 +2009,12 @@ def _vjp_bwd_compact(resolution, tile_hw, ncmax, interpret, padded, res,
             ),
         ],
     )
-    d_bins = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, PACKED_WIDTH, tot), jnp.float32),
         grid_spec=bwd_grid,
         interpret=interpret,
     )(tile_counts, off_c, used, grand, bounds, ids_cm, tids, d_rows_p)
-
-    def zero_i(shape):
-        return np.zeros(shape, jax.dtypes.float0)
-
-    return (
-        d_bins,
-        zero_i(tile_counts.shape),
-        zero_i(off_c.shape),
-        zero_i(used.shape),
-    )
 
 
 raster_gather_rows_compact.defvjp(_vjp_fwd_compact, _vjp_bwd_compact)

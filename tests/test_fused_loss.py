@@ -388,3 +388,52 @@ def test_texture_crop_matches_full(scene, monkeypatch):
             np.asarray(gc[k]), np.asarray(gf[k]), rtol=2e-3, atol=1e-7,
             err_msg=f"grad {k}",
         )
+
+
+def test_spanning_op_matches_chained(scene, monkeypatch):
+    """raster_loss_compact (raster + loss under ONE custom VJP) must be
+    bit-identical to the chained raster_gather_rows_compact +
+    fused_loss_sums ops with DD_DROWS_BF16=0 (same kernels, same inputs),
+    and close with the bf16 d_rows cotangent (one rounding of the
+    per-pixel cotangents at the HBM boundary)."""
+    lrs = jnp.asarray([1.0, 2.0, 0.5], jnp.float32)
+    _, weights = select_losses(
+        {"l1_mask": True, "weight_mask": 1.0,
+         "l1_rgb_with_mask": True, "weight_rgb": 0.7})
+
+    def build():
+        return make_fused_loss(
+            scene["proj"], scene["pos"], scene["tri"], RES, scene["gt"],
+            lrs, weights, use_rgb=True, use_mask=True,
+            edge_adj=scene["edge_adj"], vtx_color=scene["vtx_color"],
+            max_tris_per_tile=512, compact_total=1024,
+        )
+
+    def val_and_grad(fn):
+        def loss(p):
+            mtx, _, _ = pose_matrix(p)
+            return fn(mtx)[0]
+
+        v, g = jax.value_and_grad(loss)(scene["params0"])
+        return v, g
+
+    monkeypatch.setenv("DD_SPAN", "0")
+    v_chain, g_chain = val_and_grad(build())
+    monkeypatch.setenv("DD_SPAN", "1")
+    monkeypatch.setenv("DD_DROWS_BF16", "0")
+    v_span, g_span = val_and_grad(build())
+    np.testing.assert_array_equal(np.asarray(v_chain), np.asarray(v_span))
+    for k in g_chain:
+        np.testing.assert_array_equal(
+            np.asarray(g_chain[k]), np.asarray(g_span[k])
+        )
+
+    monkeypatch.setenv("DD_DROWS_BF16", "1")
+    v_bf, g_bf = val_and_grad(build())
+    # forward identical (bf16 only touches the backward intermediate)
+    np.testing.assert_array_equal(np.asarray(v_chain), np.asarray(v_bf))
+    for k in g_chain:
+        ref = np.asarray(g_chain[k])
+        got = np.asarray(g_bf[k])
+        scale = max(1e-6, float(np.abs(ref).max()))
+        np.testing.assert_allclose(got / scale, ref / scale, atol=2e-2)
