@@ -76,20 +76,56 @@ def im_resize(image: np.ndarray, width: Optional[int] = None, height: Optional[i
     return cv2.resize(image, dim)
 
 
+def _norm_ip(img: np.ndarray, low: float, high: float) -> np.ndarray:
+    """Clamp to [low, high] then affinely map to [0, 1] (the reference's
+    vendored torchvision norm_ip, diffdope.py:336-442)."""
+    img = np.clip(img, low, high)
+    return (img - low) / max(high - low, 1e-5)
+
+
 def make_grid(
     images: np.ndarray,
     nrow: int = 8,
     padding: int = 2,
     pad_value: float = 0.0,
+    normalize: bool = False,
+    value_range: Optional[Sequence[float]] = None,
+    scale_each: bool = False,
 ) -> np.ndarray:
     """Tile (B,H,W,C) images into a grid of `nrow` columns.
 
     Fresh numpy implementation of the torchvision-style grid the reference
-    vendors (diffdope.py:336-442); channels-last throughout.
+    vendors (diffdope.py:336-442); channels-last throughout.  `normalize`
+    shifts/scales into [0, 1] using `value_range` (low, high) when given,
+    else each image's own min/max (`scale_each=True`) or the batch-wide
+    min/max — same semantics as the reference's norm_ip/norm_range pair.
     """
     images = np.asarray(images)
     if images.ndim == 3:
         images = images[None]
+    if normalize:
+        if value_range is not None and len(value_range) != 2:
+            raise ValueError(
+                "value_range must be (low, high), got "
+                f"{value_range!r}"
+            )
+        images = np.asarray(images, np.float32)
+        if scale_each:
+            images = np.stack(
+                [
+                    _norm_ip(
+                        im,
+                        *(value_range or (float(im.min()), float(im.max()))),
+                    )
+                    for im in images
+                ]
+            )
+        else:
+            lo, hi = value_range or (
+                float(images.min()),
+                float(images.max()),
+            )
+            images = _norm_ip(images, lo, hi)
     b, h, w, c = images.shape
     ncol = min(nrow, b)
     nrows = -(-b // ncol)

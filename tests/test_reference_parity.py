@@ -236,6 +236,51 @@ class TestFindCropParity:
         assert got == expected
 
 
+class TestMakeGridParity:
+    """viz.make_grid vs the reference's vendored torchvision make_grid
+    (diffdope.py:336-442), including the normalize/value_range/scale_each
+    options (reference is channels-first; ours is channels-last)."""
+
+    @pytest.mark.parametrize(
+        "kwargs",
+        [
+            {},
+            {"normalize": True},
+            {"normalize": True, "scale_each": True},
+            {"normalize": True, "value_range": (-1.0, 2.0)},
+            {
+                "normalize": True,
+                "value_range": (0.25, 0.75),
+                "scale_each": True,
+            },
+            {"nrow": 3, "padding": 1, "pad_value": 0.5},
+        ],
+    )
+    def test_matches_reference(self, kwargs):
+        import math
+        from typing import List, Tuple, Union
+
+        from diffdope_tpu.viz import make_grid
+
+        ns = _extract(
+            ["make_grid"],
+            extra_globals={
+                "Union": Union, "List": List, "Tuple": Tuple, "math": math,
+            },
+        )
+        rng = np.random.default_rng(7)
+        imgs = rng.normal(size=(5, 8, 6, 3)).astype(np.float32)
+        expected = (
+            ns["make_grid"](
+                torch.from_numpy(imgs).permute(0, 3, 1, 2), **kwargs
+            )
+            .permute(1, 2, 0)
+            .numpy()
+        )
+        got = make_grid(imgs, **kwargs)
+        np.testing.assert_allclose(got, expected, rtol=1e-6, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # opencv -> opengl conversion (the "legacy" pyrr block)
 # ---------------------------------------------------------------------------
