@@ -465,6 +465,12 @@ class DiffDope:
             compact_total=self._resolve_compact_total(
                 arrays, proj, resolution, max_tris
             ),
+            roi_crop=(
+                "off"
+                if getattr(self, "_crop_disable", False)
+                or str(self.cfg.get_dotted("tpu.roi_crop", "auto")) == "off"
+                else "auto"
+            ),
         )
 
     # ------------------------------------------------------------------ #
@@ -621,15 +627,34 @@ class DiffDope:
         for attempt in range(max_retries + 1):
             result, dt = _dispatch(render_fn)
             overflow = self._overflow_max(result)
-            if overflow == 0 or not recovery or attempt == max_retries:
+            leak = self._telemetry_max(result, "_crop_leak")
+            if (
+                (overflow == 0 and leak == 0)
+                or not recovery
+                or attempt == max_retries
+            ):
                 break
-            self._capacity_boost = getattr(self, "_capacity_boost", 1.0) * 1.5
-            log.warning(
-                "bin overflow mid-refinement (up to %d dropped (tile, "
-                "triangle) pairs/step) — growing bin capacity x%.2f and "
-                "re-running (attempt %d/%d)",
-                overflow, self._capacity_boost, attempt + 1, max_retries,
-            )
+            if overflow > 0:
+                self._capacity_boost = (
+                    getattr(self, "_capacity_boost", 1.0) * 1.5
+                )
+                log.warning(
+                    "bin overflow mid-refinement (up to %d dropped (tile, "
+                    "triangle) pairs/step) — growing bin capacity x%.2f and "
+                    "re-running (attempt %d/%d)",
+                    overflow, self._capacity_boost, attempt + 1, max_retries,
+                )
+            if leak > 0:
+                # renders drifted past the ROI crop's exactness margin
+                # (pipeline.make_fused_loss): the cropped loss may have
+                # dropped silhouette pixels — re-run full-frame
+                self._crop_disable = True
+                log.warning(
+                    "ROI crop leak mid-refinement (up to %d triangles/step "
+                    "outside the crop interior) — disabling the crop and "
+                    "re-running (attempt %d/%d)",
+                    leak, attempt + 1, max_retries,
+                )
             render_fn = self._make_render_fn(with_bins=use_bins)
 
         # appearance refinement updates the mesh in place (the reference's
@@ -676,10 +701,15 @@ class DiffDope:
     def _overflow_max(self, result) -> int:
         """Worst per-step dropped-pair count from the scan telemetry (0
         when the run produced no overflow telemetry)."""
+        return self._telemetry_max(result, "_bin_overflow")
+
+    def _telemetry_max(self, result, key: str) -> int:
+        """Worst per-step value of a scan-telemetry counter (0 if the run
+        produced no such telemetry)."""
         telem = getattr(result, "telemetry", None) or {}
-        if "_bin_overflow" not in telem:
+        if key not in telem:
             return 0
-        return int(np.asarray(telem["_bin_overflow"]).max(initial=0))
+        return int(np.asarray(telem[key]).max(initial=0))
 
     def _check_bin_overflow(self, result) -> None:
         """Warn when the refinement drifted past the sized bin capacity.
@@ -693,6 +723,16 @@ class DiffDope:
         run produced no telemetry (precomputed bins): one eager re-binning
         at the final poses."""
         telem = getattr(result, "telemetry", None) or {}
+        if "_crop_leak" in telem:
+            lk = np.asarray(telem["_crop_leak"])
+            if int(lk.max(initial=0)) > 0:
+                log.warning(
+                    "ROI crop leak during refinement: up to %d triangles/"
+                    "step outside the crop interior (%d steps affected) — "
+                    "the cropped loss may differ from full-frame on those "
+                    "steps; raise DD_CROP_MARGIN or set tpu.roi_crop=off",
+                    int(lk.max()), int((lk > 0).sum()),
+                )
         if "_bin_overflow" in telem:
             ov_steps = np.asarray(telem["_bin_overflow"])
             if int(ov_steps.max(initial=0)) > 0:

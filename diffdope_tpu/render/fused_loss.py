@@ -121,14 +121,24 @@ def _window_terms(
     return m_sum, r_sum, d_sum
 
 
-def _window_geometry(si, hs, h, w, wp):
-    """(x, y, valid, own) for the slab window starting at row si*hs - 2."""
+def _window_geometry(si, hs, h, w, wp, roi=None):
+    """(x, y, valid, own) for the slab window starting at row si*hs - 2.
+
+    roi=(oy, ox, fh, fw): rows/cols are CROP-local; NDC coordinates come
+    from the global pixel index (local + origin) over the full (fh, fw)
+    frame — bit-identical to the full-frame values at the same pixels —
+    while validity clips to the crop window intersected with the frame
+    (a crop edge interior to the image behaves like an image edge, which
+    matches the full-frame render exactly as long as no triangle comes
+    within 2 px of it; pipeline.make_fused_loss counts violations in the
+    `_crop_leak` telemetry)."""
+    oy, ox, fh, fw = roi if roi is not None else (0, 0, h, w)
     hw = hs + 4
     row_abs = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0) + (si * hs - 2)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
-    y = (2.0 * row_abs.astype(jnp.float32) + 1.0) / h - 1.0
-    x = (2.0 * col.astype(jnp.float32) + 1.0) / w - 1.0
-    valid = (row_abs >= 0) & (row_abs < h) & (col < w)
+    y = (2.0 * (row_abs + oy).astype(jnp.float32) + 1.0) / fh - 1.0
+    x = (2.0 * (col + ox).astype(jnp.float32) + 1.0) / fw - 1.0
+    valid = (row_abs >= 0) & (row_abs < min(h, fh - oy)) & (col < min(w, fw - ox))
     own = (row_abs >= si * hs) & (row_abs < si * hs + hs)
     return x, y, valid, own
 
@@ -208,7 +218,8 @@ def _unpack(refs, with_depth, with_colors, halos):
     return ids3, rows3, (gt_m, gt_t, gt_b), dpl, cols, i
 
 
-def _fwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth, with_colors=False):
+def _fwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth, with_colors=False,
+                roi=None):
     ids3, rows3, gts, dpl, cols, i = _unpack(
         refs[:-1], with_depth, with_colors, halos=False
     )
@@ -217,7 +228,7 @@ def _fwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth, with_colors=False):
     ids_w, rows_w, gt_w, dpl_w, cols_w = _assemble(
         *ids3, *rows3, *gts, dpl, cols
     )
-    x, y, valid, own = _window_geometry(si, hs, h, w, wp)
+    x, y, valid, own = _window_geometry(si, hs, h, w, wp, roi)
 
     # slabs with no foreground anywhere in the window (incl. halos, which
     # could seed antialias pairs) reduce to gt-only constants: aa == 0 and
@@ -254,7 +265,8 @@ def _fwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth, with_colors=False):
     )
 
 
-def _bwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth, with_colors=False):
+def _bwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth, with_colors=False,
+                roi=None):
     ids3, rows3, gts, dpl, cols, i = _unpack(
         refs, with_depth, with_colors, halos=True
     )
@@ -272,7 +284,7 @@ def _bwd_kernel(*refs, hs, h, w, wp, n_attr, with_depth, with_colors=False):
     ids_w, rows_w, gt_w, dpl_w, cols_w = _assemble(
         *ids3, *rows3, *gts, dpl, cols
     )
-    x, y, valid, own = _window_geometry(si, hs, h, w, wp)
+    x, y, valid, own = _window_geometry(si, hs, h, w, wp, roi)
     # extended mask: the interior d_rows also receive contributions from the
     # first loss row of each neighbor slab
     hw = hs + 4
@@ -424,7 +436,7 @@ def _operands(rows, ids, gt6, dplane, colors, hs, gt_halos=True):
     return ops, ns
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def fused_loss_sums(
     rows: Array,
     ids: Array,
@@ -434,6 +446,7 @@ def fused_loss_sums(
     resolution: Tuple[int, int],
     n_attr: int = 4,
     interpret: bool = False,
+    roi: Optional[Tuple[int, int, int, int]] = None,
 ) -> Array:
     """Per-hypothesis loss partial sums straight from the raster output.
 
@@ -463,11 +476,12 @@ def fused_loss_sums(
     differentiate a loss w.r.t. the target images.
     """
     sums, _ = _fwd(rows, ids, gt6, dplane, colors, resolution, n_attr,
-                   interpret)
+                   interpret, roi)
     return sums
 
 
-def _fwd(rows, ids, gt6, dplane, colors, resolution, n_attr, interpret):
+def _fwd(rows, ids, gt6, dplane, colors, resolution, n_attr, interpret,
+         roi=None):
     b, width, hp, wp = rows.shape
     h, w = resolution
     hs = pick_slab_h(hp, target=32, wp=wp)
@@ -476,7 +490,7 @@ def _fwd(rows, ids, gt6, dplane, colors, resolution, n_attr, interpret):
     with_colors = colors is not None
     kernel = functools.partial(
         _fwd_kernel, hs=hs, h=h, w=w, wp=wp, n_attr=n_attr,
-        with_depth=with_depth, with_colors=with_colors,
+        with_depth=with_depth, with_colors=with_colors, roi=roi,
     )
     out = pl.pallas_call(
         kernel,
@@ -490,24 +504,25 @@ def _fwd(rows, ids, gt6, dplane, colors, resolution, n_attr, interpret):
     return jnp.sum(out[:, :, 0, :3], axis=1), None
 
 
-def _vjp_fwd(rows, ids, gt6, dplane, colors, resolution, n_attr, interpret):
+def _vjp_fwd(rows, ids, gt6, dplane, colors, resolution, n_attr, interpret,
+             roi=None):
     sums, _ = _fwd(rows, ids, gt6, dplane, colors, resolution, n_attr,
-                   interpret)
+                   interpret, roi)
     return sums, (rows, ids, gt6, dplane, colors)
 
 
-def _vjp_bwd(resolution, n_attr, interpret, res, d_sums):
+def _vjp_bwd(resolution, n_attr, interpret, roi, res, d_sums):
     rows, ids, gt6, dplane, colors = res
     d_rows, d_dpl, d_cols = backward_pass(
         rows, ids, gt6, dplane, colors, resolution, n_attr, interpret,
-        d_sums,
+        d_sums, roi=roi,
     )
     d_ids = np.zeros(ids.shape, jax.dtypes.float0)
     return (d_rows, d_ids, jnp.zeros_like(gt6), d_dpl, d_cols)
 
 
 def backward_pass(rows, ids, gt6, dplane, colors, resolution, n_attr,
-                  interpret, d_sums, d_rows_dtype=jnp.float32):
+                  interpret, d_sums, d_rows_dtype=jnp.float32, roi=None):
     """The fused-loss backward kernel as a plain function: d_sums (B, 3)
     -> (d_rows, d_dplane, d_colors).  `d_rows_dtype` lets the spanning
     raster_loss_compact emit the 1.7 GB/step d_rows cotangent in bf16
@@ -528,7 +543,7 @@ def backward_pass(rows, ids, gt6, dplane, colors, resolution, n_attr,
 
     kernel = functools.partial(
         _bwd_kernel, hs=hs, h=h, w=w, wp=wp, n_attr=n_attr,
-        with_depth=with_depth, with_colors=with_colors,
+        with_depth=with_depth, with_colors=with_colors, roi=roi,
     )
     in_specs = _specs(b, width, hs, wp, ns, with_depth,
                       with_colors=with_colors) + [
@@ -583,7 +598,7 @@ fused_loss_sums.defvjp(_vjp_fwd, _vjp_bwd)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def raster_loss_compact(
     bins_c: Array,
     tile_counts: Array,
@@ -595,35 +610,44 @@ def raster_loss_compact(
     ncmax: int,
     n_attr: int,
     interpret: bool = False,
+    roi: Optional[Tuple[int, int, int, int]] = None,
 ) -> Array:
     """(B, 3) loss sums from the compact bin table in one differentiable
     op (rgb+mask path: no dplane/colors — the depth/texture variants keep
     the chained ops).  Differentiable w.r.t. bins_c; gt6's cotangent is
-    zero by design (see fused_loss_sums)."""
+    zero by design (see fused_loss_sums).
+
+    roi=(oy, ox, fh, fw): `resolution` is a tile-aligned crop of the
+    (fh, fw) frame at origin (oy, ox); tile_counts/off_c/used and gt6 must
+    be pre-sliced to the crop (pipeline.make_fused_loss).  Per-pixel math
+    is bit-identical to the full frame; the loss sums match exactly as
+    long as no triangle renders within 2 px of a crop edge (guarded by the
+    `_crop_leak` telemetry)."""
     sums, _ = _rlc_fwd(
         bins_c, tile_counts, off_c, used, gt6, resolution, tile_hw, ncmax,
-        n_attr, interpret,
+        n_attr, interpret, roi,
     )
     return sums
 
 
 def _rlc_fwd(bins_c, tile_counts, off_c, used, gt6, resolution, tile_hw,
-             ncmax, n_attr, interpret):
+             ncmax, n_attr, interpret, roi=None):
     from diffdope_tpu.render.raster_v2 import _fwd_from_bins_compact
 
     ids_cm, idpix, rows, bounds = _fwd_from_bins_compact(
         bins_c, tile_counts, off_c, used, resolution, tile_hw, ncmax,
-        interpret,
+        interpret, roi=roi,
     )
     sums, _ = _fwd(rows, idpix, gt6, None, None, resolution, n_attr,
-                   interpret)
+                   interpret, roi)
     tot = bins_c.shape[2]
     tids = jnp.broadcast_to(bins_c[0:1, 13:14, :], (1, 8, tot))
     res = (rows, idpix, gt6, tids, tile_counts, off_c, used, ids_cm, bounds)
     return sums, res
 
 
-def _rlc_bwd(resolution, tile_hw, ncmax, n_attr, interpret, res, d_sums):
+def _rlc_bwd(resolution, tile_hw, ncmax, n_attr, interpret, roi, res,
+             d_sums):
     import os
 
     from diffdope_tpu.render.raster_v2 import _compact_dbins
@@ -637,11 +661,11 @@ def _rlc_bwd(resolution, tile_hw, ncmax, n_attr, interpret, res, d_sums):
     )
     d_rows, _, _ = backward_pass(
         rows, idpix, gt6, None, None, resolution, n_attr, interpret,
-        d_sums, d_rows_dtype=d_dtype,
+        d_sums, d_rows_dtype=d_dtype, roi=roi,
     )
     d_bins = _compact_dbins(
         d_rows, ids_cm, tids, tile_counts, off_c, used, bounds,
-        resolution, tile_hw, interpret, padded=True,
+        resolution, tile_hw, interpret, padded=True, roi=roi,
     )
 
     def zero_i(shape):

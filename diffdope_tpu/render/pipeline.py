@@ -403,6 +403,7 @@ def make_fused_loss(
     cull_backfaces: bool = False,
     max_occ: int = 16,
     compact_total: Optional[int] = None,
+    roi_crop: str = "auto",
 ):
     """Build ``fn(mtx) -> (total_loss, logs)`` on the fused loss kernel.
 
@@ -527,6 +528,47 @@ def make_fused_loss(
             cww = min(wp - cl, -(-(c1 - cl) // 8) * 8)
             tex_crop = (ct, cl, chh, cww)
 
+    # ROI crop for the fused raster+loss ops (DD_CROP, default on).  The
+    # refinement only consumes loss sums; pixels far from the (static) gt
+    # support can only ever contribute |0 - 0| terms, so rasterizing +
+    # reducing a tile-aligned crop around the gt segmentation (+ margin
+    # for pose drift) is loss-exact while shrinking every frame-
+    # proportional cost: the rows/ids HBM writes+reads, the d_rows
+    # cotangent, the loss kernels' grids, and the compact table/pack
+    # (out-of-crop tiles are dropped before compact_bins).  Per-pixel
+    # math is bit-identical (kernels keep global NDC coordinates via the
+    # roi origin).  Exactness needs the renders to stay 2 px inside the
+    # crop; violations are counted per step by the `_crop_leak` telemetry
+    # (same scan-carried channel as the bin-overflow warnings).  Only
+    # when gt is baked (static support) and not in texture mode (which
+    # has its own gt-seg crop, tex_crop above).
+    crop_tiles = None  # (oy, ox, hc, wc) tile-aligned, px
+    if (
+        gt is not None
+        and not texture_mode
+        and roi_crop != "off"
+        and _os.environ.get("DD_CROP", "1") == "1"
+    ):
+        from diffdope_tpu.render.raster_v2 import _sub_split
+
+        tws, _subn = _sub_split(tile_hw)
+        seg_np = np.asarray(gt["segmentation"])
+        seg_any = seg_np.max(axis=-1) if seg_np.ndim == 3 else seg_np
+        rows_any = (seg_any > 0).any(axis=1)
+        cols_any = (seg_any > 0).any(axis=0)
+        if rows_any.any():
+            margin = int(_os.environ.get("DD_CROP_MARGIN", "48"))
+            r0 = int(np.argmax(rows_any))
+            r1 = int(len(rows_any) - np.argmax(rows_any[::-1]))
+            c0 = int(np.argmax(cols_any))
+            c1 = int(len(cols_any) - np.argmax(cols_any[::-1]))
+            oy = max(0, r0 - margin) // th * th
+            ox = max(0, c0 - margin) // tws * tws
+            hc = min(hp, -(-(r1 + margin - oy) // th) * th)
+            wc = min(wp, -(-(c1 + margin - ox) // tws) * tws)
+            if (hc, wc) != (hp, wp):
+                crop_tiles = (oy, ox, hc, wc)
+
     interpret = jax.default_backend() not in ("tpu", "axon")
     npx = float(h * w)
     baked_lrs = learning_rates
@@ -552,6 +594,10 @@ def make_fused_loss(
 
         bin_overflow = None
         sums = None  # set early by the spanning raster+loss op
+        # crop-local views (overridden by the ROI crop in the compact
+        # branch; full-frame defaults everywhere else)
+        gt6_k, res_k, roi_k = gt6, tuple(resolution), None
+        crop_leak = None
         use_binned = (
             os.environ.get("DD_BINNED", "1") == "1"
             and os.environ.get("DD_RASTER", "v2") != "v3"
@@ -576,12 +622,56 @@ def make_fused_loss(
                 # render_batch
                 from diffdope_tpu.render.raster_v2 import (
                     _pick_chunk,
+                    _sub_split,
                     raster_gather_rows_compact,
                 )
 
+                # ROI crop (see crop_tiles above): drop out-of-crop tiles
+                # BEFORE compact_bins so the table, the pack, and every
+                # kernel shrink together; count triangles whose pixel
+                # bounds escape the crop's 2 px interior (the exactness
+                # condition) as scan-carried telemetry
+                idx_k, counts_k = idx, counts
+                if crop_tiles is not None:
+                    from diffdope_tpu.render.planar import (
+                        _xbounds_ndc,
+                        _ybounds_ndc,
+                    )
+
+                    oy, ox, hc, wc = crop_tiles
+                    tws, subn = _sub_split(tile_hw)
+                    nty_f, ntx_f = hp // th, wp // tws
+                    idx_k = idx.reshape(nty_f, ntx_f, subn, idx.shape[1])[
+                        oy // th : (oy + hc) // th,
+                        ox // tws : (ox + wc) // tws,
+                    ].reshape(-1, idx.shape[1])
+                    counts_k = counts.reshape(nty_f, ntx_f, subn)[
+                        oy // th : (oy + hc) // th,
+                        ox // tws : (ox + wc) // tws,
+                    ].reshape(-1)
+                    gt6_k = gt6[:, oy : oy + hc, ox : ox + wc]
+                    res_k = (hc, wc)
+                    roi_k = (oy, ox, h, w)
+                    xlo, xhi = _xbounds_ndc(cp, degenerate)
+                    ylo, yhi = _ybounds_ndc(cp, degenerate)
+                    px_lo = (xlo + 1.0) * (w / 2.0) - 0.5
+                    px_hi = (xhi + 1.0) * (w / 2.0) - 0.5
+                    py_lo = (ylo + 1.0) * (h / 2.0) - 0.5
+                    py_hi = (yhi + 1.0) * (h / 2.0) - 0.5
+                    bx_lo = float(ox + 2) if ox > 0 else -1e9
+                    bx_hi = float(ox + wc - 3) if ox + wc < w else 1e9
+                    by_lo = float(oy + 2) if oy > 0 else -1e9
+                    by_hi = float(oy + hc - 3) if oy + hc < h else 1e9
+                    nonempty = xlo <= xhi
+                    out_of_crop = nonempty & (
+                        (px_lo < bx_lo) | (px_hi > bx_hi)
+                        | (py_lo < by_lo) | (py_hi > by_hi)
+                    )
+                    crop_leak = jnp.sum(out_of_crop.astype(jnp.int32))
+
                 kc = _pick_chunk(compact_total)
                 flat, off_c, usedc, c_ovf = compact_bins(
-                    idx, counts, t_count, kc, compact_total
+                    idx_k, counts_k, t_count, kc, compact_total
                 )
                 if bin_overflow is None:
                     bin_overflow = c_ovf
@@ -604,14 +694,15 @@ def make_fused_loss(
                     )
 
                     sums = raster_loss_compact(
-                        packed_b, counts, off_c, usedc, gt6,
-                        tuple(resolution), tuple(tile_hw),
-                        idx.shape[1] // kc, n_attr, interpret,
+                        packed_b, counts_k, off_c, usedc, gt6_k,
+                        res_k, tuple(tile_hw),
+                        idx.shape[1] // kc, n_attr, interpret, roi_k,
                     )
                 else:
                     ids, rows = raster_gather_rows_compact(
-                        packed_b, counts, off_c, usedc, tuple(resolution),
+                        packed_b, counts_k, off_c, usedc, res_k,
                         tuple(tile_hw), idx.shape[1] // kc, interpret, True,
+                        roi_k,
                     )
             else:
                 packed_b = _pack_dispatch(
@@ -655,6 +746,9 @@ def make_fused_loss(
         dplane = None
         if use_depth:
             dplane = gtd_p[None] + mtx[..., 2, 3][:, None, None]
+            if roi_k is not None:
+                oy, ox, hc, wc = crop_tiles
+                dplane = dplane[:, oy : oy + hc, ox : ox + wc]
         colors = None
         if texture_mode:
             # semi-fused exact texture: interpolate uv from the padded
@@ -711,8 +805,8 @@ def make_fused_loss(
                 )
         if sums is None:
             sums = fused_loss_sums(
-                rows, ids, gt6, dplane, colors, tuple(resolution), n_attr,
-                interpret
+                rows, ids, gt6_k, dplane, colors, res_k, n_attr,
+                interpret, roi_k,
             )
 
         total = jnp.float32(0.0)
@@ -729,6 +823,12 @@ def make_fused_loss(
             per_hyp = sums[:, 0] / (3.0 * npx)
             total = total + jnp.mean(per_hyp * learning_rates) * weights["mask"]
             logs["mask_selection"] = per_hyp * weights["mask"]
+        if crop_leak is not None:
+            # triangles whose pixel bounds escape the ROI crop's 2 px
+            # interior at THIS step's poses: nonzero means the cropped
+            # loss may differ from the full-frame loss (optimize.refine
+            # surfaces it like the bin-overflow warnings)
+            logs["_crop_leak"] = jax.lax.stop_gradient(crop_leak)
         if bin_overflow is not None:
             # scan-carried telemetry (underscore keys are split out of the
             # loss logs by optimize.refine): dropped (tile, triangle) pairs

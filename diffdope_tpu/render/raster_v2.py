@@ -35,7 +35,7 @@ by the inverted-bin per-triangle reduction — no scatter.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -180,6 +180,7 @@ def _fwd_kernel_v2_compact(
     bins_ref, ids_ref, idpix_ref, rows_ref, zb_s, ib_s,
     *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False, cu=1,
     split_eval=False, hoist_eval=False, lean_eval=False, totc=0, sub=1,
+    oy=0, ox=0,
 ):
     return _fwd_kernel_body(
         counts_ref, bounds_ref, qwin_ref, xwin_ref, bins_ref, ids_ref,
@@ -187,7 +188,7 @@ def _fwd_kernel_v2_compact(
         th=th, tw=tw, ntx=ntx, h=h, w=w, k_chunk=k_chunk, q_rows=q_rows,
         eval_bf16=eval_bf16, xw=0, cu=cu, split_eval=split_eval,
         hoist_eval=hoist_eval, lean_eval=lean_eval, compact=True, totc=totc,
-        sub=sub,
+        sub=sub, oy=oy, ox=ox,
     )
 
 
@@ -197,7 +198,7 @@ def _fwd_kernel_body(
     used_ref=None,
     *, th, tw, ntx, h, w, k_chunk, q_rows, eval_bf16=False, xw=0, cu=1,
     split_eval=False, hoist_eval=False, lean_eval=False, compact=False,
-    totc=0, sub=1,
+    totc=0, sub=1, oy=0, ox=0,
 ):
     """Vectorized forward: see module docstring.
 
@@ -257,11 +258,14 @@ def _fwd_kernel_body(
     # (tpu.iota must be integer-typed; cast after)
     iq = jax.lax.broadcasted_iota(jnp.int32, (q * tw, 1), 0)
     jrow_i = iq // tw  # (q*tw, 1) int: 0..q-1
-    xcol_i = (iq % tw) + (t % ntx) * tw
+    xcol_i = (iq % tw) + (t % ntx) * tw + ox
     xq = (2.0 * xcol_i.astype(jnp.float32) + 1.0) / w - 1.0  # (q*tw, 1)
     # single-row-group x coords for the split eval (values identical to
     # each tw-long section of xq)
-    x1i = jax.lax.broadcasted_iota(jnp.int32, (tw, 1), 0) + (t % ntx) * tw
+    x1i = (
+        jax.lax.broadcasted_iota(jnp.int32, (tw, 1), 0)
+        + (t % ntx) * tw + ox
+    )
     x1q = (2.0 * x1i.astype(jnp.float32) + 1.0) / w - 1.0  # (tw, 1)
     x1e = x1q.astype(jnp.bfloat16) if eval_bf16 else x1q
     import os as _os0
@@ -279,7 +283,7 @@ def _fwd_kernel_body(
             "kernel path (DD_QOUTER=1, no DD_XWIN/DD_CUNROLL/DD_EVAL_SPLIT/"
             "DD_EVAL_HOIST/DD_EVAL_BF16)"
         )
-    y0 = (t // ntx) * th
+    y0 = (t // ntx) * th + oy
     nq = th // q
 
     # carried per-row state is QUAD-MAJOR: (q*tw, nq), lane column qi
@@ -348,7 +352,7 @@ def _fwd_kernel_body(
                 cb0_s = off_ref[tsub]
             else:
                 cb0_s = s * n_chunks_sub
-            xcol_s = (iq_s % tws) + ((t % ntx) * tw + s * tws)
+            xcol_s = (iq_s % tws) + ((t % ntx) * tw + s * tws) + ox
             xq_s = (2.0 * xcol_s.astype(jnp.float32) + 1.0) / w - 1.0
 
             def quad_all(qi, ids_mat, tsub=tsub, count=count_s, cb0=cb0_s,
@@ -592,7 +596,7 @@ def _fwd_kernel_body(
                     )
                     xi = (
                         jax.lax.broadcasted_iota(jnp.int32, (xw, 1), 0)
-                        + (x0 + (t % ntx) * tw)
+                        + (x0 + (t % ntx) * tw + ox)
                     )
                     xq = (2.0 * xi.astype(jnp.float32) + 1.0) / w - 1.0
                     xqe = xq.astype(jnp.bfloat16) if eval_bf16 else xq
@@ -1017,14 +1021,14 @@ def _bwd_kernel_v2(
 def _bwd_kernel_v2_compact(
     counts_ref, off_ref, used_ref, grand_ref, bounds_ref,
     idscm_ref, tids_ref, drows_ref, out_ref, d4s_ref,
-    *, th, tw, ntx, k_chunk, q_rows, totc=0, sub=1,
+    *, th, tw, ntx, k_chunk, q_rows, totc=0, sub=1, oy=0,
 ):
     return _bwd_kernel_body(
         counts_ref, bounds_ref, idscm_ref, tids_ref, drows_ref, out_ref,
         d4s_ref,
         off_ref=off_ref, used_ref=used_ref, grand_ref=grand_ref,
         th=th, tw=tw, ntx=ntx, k_chunk=k_chunk, q_rows=q_rows,
-        zero_tail=True, compact=True, totc=totc, sub=sub,
+        zero_tail=True, compact=True, totc=totc, sub=sub, oy=oy,
     )
 
 
@@ -1033,7 +1037,7 @@ def _bwd_kernel_body(
     d4s_ref=None,
     off_ref=None, used_ref=None, grand_ref=None,
     *, th, tw, ntx, k_chunk, q_rows, zero_tail=False, compact=False, totc=0,
-    sub=1,
+    sub=1, oy=0,
 ):
     """d_bin(32, kc) = sum_rows d_rows(32, q*tw) @ indicator(q*tw, kc).
 
@@ -1057,7 +1061,7 @@ def _bwd_kernel_body(
     """
     bi = pl.program_id(0)
     t = pl.program_id(1)
-    y0 = (t // ntx) * th
+    y0 = (t // ntx) * th + oy
     q = q_rows
     tws = tw // sub
 
@@ -1288,14 +1292,15 @@ def _untangle_ids(ids_cm, resolution, padded: bool = False, q: int = 1,
     return ids[:, : resolution[0], : resolution[1]]
 
 
-def _quad_windows(rlo, rhi, th, ntx, q, h):
+def _quad_windows(rlo, rhi, th, ntx, q, h, oy=0):
     """Per-(b, tile, quad) conservative chunk windows [qclo, qchi) (int32).
 
     Chunks overlapping quad qi's absolute rows; empty -> [0, 0).  Used by
-    the forward's quad-outer phase C."""
+    the forward's quad-outer phase C.  `oy` is the ROI crop's top row:
+    tile 0 starts at absolute row oy, matching the kernels' y0."""
     b, num_tiles, nc = rlo.shape
     nq = th // q
-    y0 = (jnp.arange(num_tiles, dtype=jnp.int32) // ntx) * th
+    y0 = (jnp.arange(num_tiles, dtype=jnp.int32) // ntx) * th + oy
     q_top = y0[:, None] + jnp.arange(nq, dtype=jnp.int32)[None, :] * q
     q_bot = q_top + (q - 1)
     over = (
@@ -1779,13 +1784,23 @@ def _chunk_row_bounds_flat(bins_c, k_chunk, h, gated):
 
 
 def _fwd_from_bins_compact(bins_c, tile_counts, off_c, used, resolution,
-                           tile_hw, ncmax, interpret, gated=True):
+                           tile_hw, ncmax, interpret, gated=True, roi=None):
+    """`roi=(oy, ox, full_h, full_w)` rasterizes only the tile-aligned
+    crop window whose top-left pixel is (oy, ox), with `resolution` the
+    crop's (multiple-of-tile) size: the per-pixel NDC math stays in GLOBAL
+    frame coordinates (bit-identical values to the full-frame render at
+    the same pixels), only the kernel grid and the ids/rows outputs shrink
+    to the crop.  tile_counts/off_c/used must already be sliced to the
+    crop's tiles (pipeline.make_fused_loss)."""
     b, width, tot = bins_c.shape
     assert width == PACKED_WIDTH
     h, w = resolution
+    oy, ox, fh, fw = roi if roi is not None else (0, 0, h, w)
     th, tw_bin = tile_hw
     tw, sub = _sub_split(tile_hw)
-    nty, ntx = -(-h // th), -(-w // tw)  # SUPER-tile grid
+    nty, ntx = -(-h // th), -(-w // tw)  # SUPER-tile grid (crop-local)
+    if roi is not None and (oy % th or ox % tw or h % th or w % tw):
+        raise ValueError(f"roi {roi} / {resolution} not tile-aligned")
     num_tiles = tile_counts.shape[0]  # sub-tile count
     if num_tiles != nty * ntx * sub:
         raise ValueError(
@@ -1797,20 +1812,20 @@ def _fwd_from_bins_compact(bins_c, tile_counts, off_c, used, resolution,
     q_rows = _pick_qrows(th)
     nq = th // q_rows
 
-    rlo_f, rhi_f = _chunk_row_bounds_flat(bins_c, k_chunk, h, gated)
+    rlo_f, rhi_f = _chunk_row_bounds_flat(bins_c, k_chunk, fh, gated)
     bounds = ((rlo_f + 1) * 1024 + (rhi_f + 1)).reshape(-1).astype(jnp.int32)
-    if h > 1022:
+    if fh > 1022:
         raise ValueError(
-            f"packed row bounds support images up to 1022 rows (got H={h})"
+            f"packed row bounds support images up to 1022 rows (got H={fh})"
         )
 
     # densify per-tile chunk ranges (b, nt, ncmax) for the quad windows
     ci = jnp.arange(ncmax, dtype=jnp.int32)
     didx = jnp.minimum(off_c[:, None] + ci[None, :], totc - 1)  # (nt, ncmax)
     in_tile = ci[None, :] < used[:, None]
-    rlo_d = jnp.where(in_tile[None], rlo_f[:, didx], h)
+    rlo_d = jnp.where(in_tile[None], rlo_f[:, didx], fh)
     rhi_d = jnp.where(in_tile[None], rhi_f[:, didx], -1)
-    qclo, qchi = _quad_windows(rlo_d, rhi_d, th, ntx * sub, q_rows, h)
+    qclo, qchi = _quad_windows(rlo_d, rhi_d, th, ntx * sub, q_rows, fh, oy)
     if ncmax > 255:
         raise ValueError(
             f"packed quad windows support up to 255 chunks per tile "
@@ -1823,7 +1838,8 @@ def _fwd_from_bins_compact(bins_c, tile_counts, off_c, used, resolution,
 
     _bf16 = os.environ.get("DD_EVAL_BF16", "0") == "1"
     kernel = functools.partial(
-        _fwd_kernel_v2_compact, th=th, tw=tw, ntx=ntx, h=h, w=w,
+        _fwd_kernel_v2_compact, th=th, tw=tw, ntx=ntx, h=fh, w=fw,
+        oy=oy, ox=ox,
         k_chunk=k_chunk, q_rows=q_rows,
         eval_bf16=_bf16,
         cu=max(1, int(os.environ.get("DD_CUNROLL", "1"))),
@@ -1883,7 +1899,7 @@ def _fwd_from_bins_compact(bins_c, tile_counts, off_c, used, resolution,
     return ids_cm, idpix, rows, bounds
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def raster_gather_rows_compact(
     bins_c: Array,
     tile_counts: Array,
@@ -1894,6 +1910,7 @@ def raster_gather_rows_compact(
     ncmax: int,
     interpret: bool = False,
     padded: bool = False,
+    roi: Optional[Tuple[int, int, int, int]] = None,
 ) -> Tuple[Array, Array]:
     """Rasterize + row gather from a COMPACT bin-ordered packed table.
 
@@ -1908,7 +1925,7 @@ def raster_gather_rows_compact(
     """
     _, idpix, rows, _ = _fwd_from_bins_compact(
         bins_c, tile_counts, off_c, used, resolution, tile_hw, ncmax,
-        interpret,
+        interpret, roi=roi,
     )
     ids = idpix if padded else idpix[:, : resolution[0], : resolution[1]]
     if not padded:
@@ -1919,10 +1936,11 @@ def raster_gather_rows_compact(
 
 
 def _vjp_fwd_compact(bins_c, tile_counts, off_c, used, resolution,
-                     tile_hw, ncmax, interpret=False, padded=False):
+                     tile_hw, ncmax, interpret=False, padded=False,
+                     roi=None):
     ids_cm, idpix, rows, bounds = _fwd_from_bins_compact(
         bins_c, tile_counts, off_c, used, resolution, tile_hw, ncmax,
-        interpret,
+        interpret, roi=roi,
     )
     ids = idpix if padded else idpix[:, : resolution[0], : resolution[1]]
     rows_out = rows if padded else rows[:, :, : resolution[0], : resolution[1]]
@@ -1932,13 +1950,13 @@ def _vjp_fwd_compact(bins_c, tile_counts, off_c, used, resolution,
     return (ids, rows_out), res
 
 
-def _vjp_bwd_compact(resolution, tile_hw, ncmax, interpret, padded, res,
-                     cotangents):
+def _vjp_bwd_compact(resolution, tile_hw, ncmax, interpret, padded, roi,
+                     res, cotangents):
     tids, tile_counts, off_c, used, ids_cm, bounds = res
     _, d_rows = cotangents
     d_bins = _compact_dbins(
         d_rows, ids_cm, tids, tile_counts, off_c, used, bounds,
-        resolution, tile_hw, interpret, padded,
+        resolution, tile_hw, interpret, padded, roi=roi,
     )
 
     def zero_i(shape):
@@ -1953,12 +1971,16 @@ def _vjp_bwd_compact(resolution, tile_hw, ncmax, interpret, padded, res,
 
 
 def _compact_dbins(d_rows, ids_cm, tids, tile_counts, off_c, used, bounds,
-                   resolution, tile_hw, interpret, padded):
+                   resolution, tile_hw, interpret, padded, roi=None):
     """Compact backward kernel invocation: cotangent rows image (f32 or
-    bf16 — the kernel upcasts at its read) -> (B, 32, tot) d_bins."""
+    bf16 — the kernel upcasts at its read) -> (B, 32, tot) d_bins.
+    `roi=(oy, ox, fh, fw)`: resolution is the crop size and the row
+    gating runs against global row bounds offset by oy (see
+    _fwd_from_bins_compact)."""
     b = d_rows.shape[0]
     tot = tids.shape[2]
     h, w = resolution
+    oy = roi[0] if roi is not None else 0
     th, tw_bin = tile_hw
     tw, sub = _sub_split(tile_hw)
     nty, ntx = -(-h // th), -(-w // tw)  # SUPER-tile grid
@@ -1977,7 +1999,7 @@ def _compact_dbins(d_rows, ids_cm, tids, tile_counts, off_c, used, bounds,
 
     kernel = functools.partial(
         _bwd_kernel_v2_compact, th=th, tw=tw, ntx=ntx, k_chunk=k_chunk,
-        q_rows=q_rows, totc=totc, sub=sub,
+        q_rows=q_rows, totc=totc, sub=sub, oy=oy,
     )
     bwd_grid = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
