@@ -87,6 +87,7 @@ def sweep_perturbation_levels(
     init_jitter=(0.0, 0.0),
     restarts: int = 0,
     restart_jitter=(10.0, 0.02),
+    argmin_rule: str = "best_step",
 ) -> Dict[str, dict]:
     """Sweep the bundled perturbation JSONs and aggregate ADD(-S)/AUC.
 
@@ -142,7 +143,7 @@ def sweep_perturbation_levels(
                         objs, level, scene_id, frame, mesh_path, obj_scale,
                         resolution, batchsize, nb_iterations, seed, log_fn,
                         optimizer, base_lr, lr_bounds, loss_weights,
-                        init_jitter, restarts, restart_jitter,
+                        init_jitter, restarts, restart_jitter, argmin_rule,
                     ))
         adds = np.asarray([o["add"] for o in per_object], float)
         adds_s = np.asarray(
@@ -151,6 +152,13 @@ def sweep_perturbation_levels(
         dias = np.asarray([o["diameter"] for o in per_object], float)
         norm = adds / np.maximum(dias, 1e-9)
         norm_s = adds_s / np.maximum(dias, 1e-9)
+        # zero-iteration CONTROL column: the init pose scored by the same
+        # metric — the refiner must not lose cases the init already had
+        # (acc_01d >= acc_01d_init per cell is the regression guard)
+        add_i = np.asarray(
+            [o["add_init"] for o in per_object if "add_init" in o], float
+        )
+        norm_i = add_i / np.maximum(dias[: len(add_i)], 1e-9)
         results[level] = {
             "n": len(per_object),
             "mode": "real" if bop_root is not None else "synthesized",
@@ -167,8 +175,16 @@ def sweep_perturbation_levels(
             "adds_auc_01d": (
                 add_auc(norm_s, 0.1) if len(adds_s) else float("nan")
             ),
+            "add_init_mean": float(add_i.mean()) if len(add_i) else None,
+            "acc_01d_init": (
+                float((norm_i < 0.1).mean()) if len(add_i) else None
+            ),
             "per_object": per_object,
         }
+        init_note = (
+            f" (init control acc@0.1d={results[level]['acc_01d_init']:.3f})"
+            if results[level]["acc_01d_init"] is not None else ""
+        )
         log_fn(
             f"[{level}] n={results[level]['n']} "
             f"ADD mean={results[level]['add_mean']:.4f} "
@@ -176,6 +192,7 @@ def sweep_perturbation_levels(
             f"acc@0.1d={results[level]['acc_01d']:.3f} "
             f"AUC@0.1d={results[level]['auc_01d']:.3f} "
             f"ADD-S acc@0.1d={results[level]['adds_acc_01d']:.3f}"
+            + init_note
         )
     return results
 
@@ -347,14 +364,22 @@ def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
                         mtx_gt[:3, :3], mtx_gt[:3, 3]),
         )
 
+    @jax.jit
+    def init_mtx(q, t):
+        mtx, _, _ = pose_matrix(pose_params(q, t, 1))
+        return mtx[0]
+
     jd, jt = init_jitter
     jitter = (
         jax.jit(lambda p, k: jitter_pose_params(p, k, jd, jt))
         if (jd > 0 or jt > 0) else None
     )
+    from diffdope_tpu.optimize import argmin_step_hypothesis
+
     ctx = dict(
         gt_render=gt_render, jit_refine=jit_refine, score=score, lrs=lrs,
-        argmin=argmin_hypothesis, pose_params=pose_params,
+        argmin=argmin_hypothesis, argmin_sb=argmin_step_hypothesis,
+        init_mtx=init_mtx, pose_params=pose_params,
         diameter=object_diameter(pts), geo=geo, jitter=jitter,
         weights=weights,
     )
@@ -367,14 +392,21 @@ def _sweep_synth_objects(objs, level, scene_id, frame, mesh_path, obj_scale,
                          optimizer="adam", base_lr=0.02,
                          lr_bounds=(0.5, 4.0), loss_weights=(0.7, 0.0, 1.0),
                          init_jitter=(0.0, 0.0), restarts=0,
-                         restart_jitter=(10.0, 0.02)):
+                         restart_jitter=(10.0, 0.02),
+                         argmin_rule="best_step"):
     """Synthesized branch: JSON pose = gt, init = gt + level perturbation.
 
     init_jitter=(deg, trans) spreads the hypothesis batch around the
     perturbed init (optimize.jitter_pose_params); restarts > 0 re-seeds
     all hypotheses at the running argmin between equal segments
     (optimize.refine_with_restarts).  Defaults preserve the reference
-    protocol exactly (all hypotheses identical, one continuous run)."""
+    protocol exactly (all hypotheses identical, one continuous run),
+    except pose selection: argmin_rule='best_step' (default) picks the
+    best (step, hypothesis) over the whole loss history — last-step
+    selection returns diverged poses on up to 46% of EASY (1 degree)
+    inits when the trajectory overshoots late (docs/SWEEP_r04.md);
+    'last_step' restores the reference rule.  Every entry also records
+    the zero-iteration init score (add_init/adds_init) as the control."""
     import zlib
 
     import jax
@@ -427,19 +459,40 @@ def _sweep_synth_objects(objs, level, scene_id, frame, mesh_path, obj_scale,
             )
         else:
             result = ctx["jit_refine"](p0, gt=gt, learning_rates=ctx["lrs"])
-        best = int(ctx["argmin"](
-            {k: jnp.asarray(v) for k, v in result.losses_values.items()}))
-        add, adds = ctx["score"](result.mtx_history[-1][best], mtx_gt)
+        s_best, b_best = ctx["argmin_sb"](
+            {k: jnp.asarray(v) for k, v in result.losses_values.items()},
+            argmin_rule,
+        )
+        s_best, b_best = int(s_best), int(b_best)
+        add, adds = ctx["score"](result.mtx_history[s_best][b_best], mtx_gt)
+        add_i, adds_i = ctx["score"](
+            ctx["init_mtx"](jnp.asarray(q0), jnp.asarray(t0)), mtx_gt
+        )
         entry = {
             "scene": scene_id, "frame": frame, "i_obj": i_obj,
             "obj_id": int(obj.get("obj_id", -1)),
             "add": float(add), "adds": float(adds),
+            "add_init": float(add_i), "adds_init": float(adds_i),
+            "best_step": s_best, "best_hyp": b_best,
             "diameter": ctx["diameter"],
             "final_loss": float(np.asarray(result.total_loss)[-1]),
         }
+        # scan telemetry (bin overflow / ROI crop leak): record the worst
+        # per-step counts so degraded cells are visible in the sweep JSON
+        # instead of silently lowering accuracy
+        telem = result.telemetry or {}
+        for tk in ("_bin_overflow", "_crop_leak"):
+            if tk in telem:
+                worst = int(np.asarray(telem[tk]).max(initial=0))
+                if worst > 0:
+                    entry[tk.lstrip("_") + "_max"] = worst
+                    log_fn(f"  WARNING {level} {scene_id}/{frame}#{i_obj}: "
+                           f"{tk} up to {worst}/step — renders degraded")
         out.append(entry)
         log_fn(f"  {level} {scene_id}/{frame}#{i_obj}: add={entry['add']:.4f} "
-               f"adds={entry['adds']:.4f} d={entry['diameter']:.3f}")
+               f"adds={entry['adds']:.4f} d={entry['diameter']:.3f} "
+               f"(init add={entry['add_init']:.4f}, "
+               f"best step {s_best}/hyp {b_best})")
     return out
 
 

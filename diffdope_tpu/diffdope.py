@@ -589,6 +589,10 @@ class DiffDope:
                     ),
                     key=jax.random.PRNGKey(self.seed + 2),
                     jit_refine=self._refine_jit,
+                    # restart segments obey the same per-dispatch step cap
+                    # as the plain path (single executions are killed past
+                    # ~60s in some environments)
+                    segment_steps=segment,
                 )
             else:
                 # live per-segment loss (the reference user sees a tqdm
@@ -802,17 +806,42 @@ class DiffDope:
     # ------------------------------------------------------------------ #
     # results
     # ------------------------------------------------------------------ #
-    def get_argmin(self) -> int:
-        """Best hypothesis index (reference diffdope.py:1488-1513)."""
+    def _best_indices(self) -> tuple:
+        """(step, hypothesis) of the selected pose under ``tpu.argmin_rule``.
+
+        Default 'best_step': argmin over the full (step, hypothesis) loss
+        history — the best pose the optimizer ever visited, never worse
+        (in logged loss) than the init because step 0 scores the init pose.
+        'last_step' restores the reference's rule exactly (get_argmin,
+        reference diffdope.py:1488-1513), which can return a diverged pose
+        when the trajectory overshoots late (optimize.argmin_step_hypothesis).
+        """
         if not self.losses_values:
-            return 0
-        return int(argmin_hypothesis({k: jnp.asarray(v) for k, v in self.losses_values.items()}))
+            return -1, 0
+        rule = str(self.cfg.get_dotted("tpu.argmin_rule", "best_step"))
+        from diffdope_tpu.optimize import argmin_step_hypothesis
+
+        s, b = argmin_step_hypothesis(
+            {k: jnp.asarray(v) for k, v in self.losses_values.items()}, rule
+        )
+        return int(s), int(b)
+
+    def get_argmin(self) -> int:
+        """Best hypothesis index (reference diffdope.py:1488-1513; under
+        the default tpu.argmin_rule='best_step' it is the hypothesis of
+        the best (step, hypothesis) pair — see _best_indices)."""
+        return self._best_indices()[1]
 
     def get_pose(self, batch_index: int = -1) -> np.ndarray:
         """Refined 4x4 pose (OpenGL frame, like the reference's
-        diffdope.py:1618-1632).  batch_index=-1 selects the argmin."""
+        diffdope.py:1618-1632).  batch_index=-1 selects the argmin — at
+        the best step under tpu.argmin_rule='best_step' (default), at the
+        last step under 'last_step' (exact reference rule).  An explicit
+        batch_index returns that hypothesis's last-step pose (reference
+        behavior)."""
         if batch_index == -1:
-            batch_index = self.get_argmin()
+            step, hyp = self._best_indices()
+            return self.mtx_history[step][hyp]
         return self.mtx_history[-1][batch_index]
 
     def get_pose_opencv(self, batch_index: int = -1) -> np.ndarray:

@@ -339,6 +339,13 @@ _GLTF_NCOMP = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4}
 def _gltf_read_accessor(gltf, buffers, idx):
     """Accessor -> (count, n_comp) numpy array (tightly packed or strided)."""
     acc = gltf["accessors"][idx]
+    if "sparse" in acc:
+        # loading a sparse accessor as its (possibly zero) base view would
+        # silently produce wrong geometry — fail loudly instead
+        raise ValueError(
+            "glTF sparse accessors are not supported (accessor "
+            f"{idx}); re-export the asset with dense buffers"
+        )
     n_comp = _GLTF_NCOMP[acc["type"]]
     dtype = np.dtype(_GLTF_CTYPES[acc["componentType"]]).newbyteorder("<")
     count = acc["count"]
@@ -394,10 +401,11 @@ def load_glb(path) -> Dict[str, np.ndarray]:
     TOP row, already matching texture storage — no V flip needed, unlike
     the PLY convention).
 
-    All primitives of all meshes are concatenated (node transforms are NOT
-    applied — single-object asset assumption, which is what the refiner
-    consumes).  Feature parity target: the formats the reference gets for
-    free from trimesh.load (reference diffdope.py:784).
+    All primitives of all mesh instances are concatenated with their node
+    world transforms APPLIED (positions by the 4x4, normals by its
+    inverse-transpose) — matching what the trimesh-backed reference loads
+    (reference diffdope.py:784).  A mesh referenced by several nodes is
+    emitted once per instance.  Sparse accessors raise (unsupported).
     """
     import json as _json
     import struct
@@ -430,16 +438,66 @@ def load_glb(path) -> Dict[str, np.ndarray]:
             else:
                 buffers.append((path.parent / uri).read_bytes())
 
+    # mesh instances = (mesh index, node world matrix) from the scene graph;
+    # assets with no nodes fall back to identity-placed meshes
+    def _node_local(nd):
+        if "matrix" in nd:  # column-major 16 floats
+            return np.asarray(nd["matrix"], np.float64).reshape(4, 4).T
+        m = np.eye(4)
+        if "scale" in nd:
+            m[:3, :3] = np.diag(np.asarray(nd["scale"], np.float64))
+        if "rotation" in nd:  # quat x,y,z,w
+            x, y, z, w = (float(v) for v in nd["rotation"])
+            r = np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+            ])
+            m[:3, :3] = r @ m[:3, :3]
+        if "translation" in nd:
+            m[:3, 3] = np.asarray(nd["translation"], np.float64)
+        return m
+
+    nodes = gltf.get("nodes", [])
+    instances = []  # (mesh_idx, (4,4) world)
+    if nodes:
+        scenes = gltf.get("scenes", [])
+        roots = (
+            scenes[gltf.get("scene", 0)].get("nodes", range(len(nodes)))
+            if scenes else range(len(nodes))
+        )
+
+        def _walk(i, parent):
+            nd = nodes[i]
+            world = parent @ _node_local(nd)
+            if "mesh" in nd:
+                instances.append((nd["mesh"], world))
+            for c in nd.get("children", []):
+                _walk(c, world)
+
+        for r in roots:
+            _walk(r, np.eye(4))
+    if not instances:
+        instances = [(i, np.eye(4)) for i in range(len(gltf.get("meshes", [])))]
+
     verts, faces, normals, uvs, colors = [], [], [], [], []
     tex_image = None
     base = 0
-    for mesh_def in gltf.get("meshes", []):
+    for mesh_idx, world in instances:
+        mesh_def = gltf["meshes"][mesh_idx]
+        is_identity = np.allclose(world, np.eye(4))
+        if not is_identity:
+            nrm_mat = np.linalg.inv(world[:3, :3]).T
         for prim in mesh_def.get("primitives", []):
             if prim.get("mode", 4) != 4:  # TRIANGLES only
                 continue
             attrs = prim["attributes"]
             pos = _gltf_read_accessor(gltf, buffers, attrs["POSITION"])
             pos = pos.astype(np.float32)
+            if not is_identity:
+                pos = (
+                    pos.astype(np.float64) @ world[:3, :3].T + world[:3, 3]
+                ).astype(np.float32)
             npts = len(pos)
             if "indices" in prim:
                 idx = _gltf_read_accessor(
@@ -449,11 +507,19 @@ def load_glb(path) -> Dict[str, np.ndarray]:
                 idx = np.arange(npts, dtype=np.int64)
             verts.append(pos)
             faces.append(idx.reshape(-1, 3) + base)
-            normals.append(
+            nrm = (
                 _gltf_read_accessor(gltf, buffers, attrs["NORMAL"])
                 .astype(np.float32)
                 if "NORMAL" in attrs else np.zeros((npts, 3), np.float32)
             )
+            if not is_identity and np.abs(nrm).max() > 0:
+                nrm = nrm.astype(np.float64) @ nrm_mat.T
+                nrm = (
+                    nrm / np.maximum(
+                        np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12
+                    )
+                ).astype(np.float32)
+            normals.append(nrm)
             uvs.append(
                 _gltf_read_accessor(gltf, buffers, attrs["TEXCOORD_0"])
                 .astype(np.float32)

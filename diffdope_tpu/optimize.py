@@ -403,6 +403,7 @@ def refine_with_restarts(
     restart_jitter_trans: float = 0.02,
     key: Optional[Array] = None,
     jit_refine=None,
+    segment_steps: Optional[int] = None,
     **refine_kwargs,
 ) -> RefineResult:
     """Basin-hopping refinement: restart all hypotheses around the argmin.
@@ -419,6 +420,12 @@ def refine_with_restarts(
 
     History/log outputs are the concatenation over segments (same total
     step count as one refine run with the same nb_iterations).
+
+    ``segment_steps`` caps the steps per device dispatch (like
+    refine_segmented — some environments kill single executions past
+    ~60s): each restart segment is itself chunked, carrying optimizer
+    state across chunks, so results are numerically identical to
+    one-dispatch-per-restart.
     """
     total = nb_iterations + 1
     n_seg = restarts + 1
@@ -455,16 +462,24 @@ def refine_with_restarts(
     done = 0
     for seg in range(n_seg):
         n = (total - done) // (n_seg - seg)
-        res = jit_refine(
-            params, gt=gt, learning_rates=learning_rates, num_steps=n
-        )
+        # chunked dispatch within the restart segment (see segment_steps)
+        seg_done, opt_state = 0, None
+        while seg_done < n:
+            m = n if segment_steps is None else min(segment_steps, n - seg_done)
+            res = jit_refine(
+                params if seg_done == 0 else res.params,
+                gt=gt, learning_rates=learning_rates, num_steps=m,
+                opt_state=opt_state,
+            )
+            opt_state = res.opt_state
+            seg_done += m
+            mtx_chunks.append(res.mtx_history)
+            total_chunks.append(res.total_loss)
+            for k2, v in res.losses_values.items():
+                logs_chunks.setdefault(k2, []).append(v)
+            for k2, v in (res.telemetry or {}).items():
+                telem_chunks.setdefault(k2, []).append(v)
         done += n
-        mtx_chunks.append(res.mtx_history)
-        total_chunks.append(res.total_loss)
-        for k2, v in res.losses_values.items():
-            logs_chunks.setdefault(k2, []).append(v)
-        for k2, v in (res.telemetry or {}).items():
-            telem_chunks.setdefault(k2, []).append(v)
         if seg < n_seg - 1:
             key, sub = jax.random.split(key)
             pose_only = {
@@ -496,3 +511,34 @@ def argmin_hypothesis(losses_values: Dict[str, Array]) -> Array:
     the last step (reference get_argmin, diffdope.py:1488-1513)."""
     last = jnp.stack([v[-1] for v in losses_values.values()], axis=0)  # (terms, B)
     return jnp.argmin(jnp.mean(last, axis=0), axis=-1)
+
+
+def argmin_step_hypothesis(
+    losses_values: Dict[str, Array], rule: str = "best_step"
+) -> Tuple[Array, Array]:
+    """Best (step, hypothesis) under the selection rule.
+
+    The logged loss at step s is evaluated at the PRE-update pose
+    ``mtx_history[s]`` (refine's scan emits mtx before applying the
+    update), so a (step, hypothesis) argmin over the whole history selects
+    the best pose the optimizer ever *visited* — and because step 0 scores
+    the initial pose itself, the winner can never have a higher logged
+    loss than the init.  The reference's rule (get_argmin, reference
+    diffdope.py:1488-1513) only looks at the LAST step, which returns a
+    diverged pose whenever the end of the trajectory overshoots a
+    basin it passed through (measured: up to 46% of already-correct
+    1-degree inits score worse than they started under last-step
+    selection — docs/SWEEP_r04.md); ``rule='last_step'`` preserves that
+    reference behavior exactly.
+
+    Returns (step, hypothesis) int arrays; index ``mtx_history[step, hyp]``.
+    """
+    stacked = jnp.stack(list(losses_values.values()), axis=0)  # (terms, S, B)
+    mean = jnp.mean(stacked, axis=0)  # (S, B)
+    if rule == "last_step":
+        s = mean.shape[0] - 1
+        return jnp.asarray(s), jnp.argmin(mean[-1], axis=-1)
+    if rule != "best_step":
+        raise ValueError(f"unknown argmin rule {rule!r} (best_step | last_step)")
+    flat = jnp.argmin(mean.reshape(-1), axis=-1)
+    return flat // mean.shape[1], flat % mean.shape[1]

@@ -69,6 +69,11 @@ def main():
                          "(optimize.refine_with_restarts)")
     ap.add_argument("--restart-jitter", default="10,0.02",
                     help="deg,trans jitter applied at each restart")
+    ap.add_argument("--argmin-rule", default="best_step",
+                    choices=["best_step", "last_step"],
+                    help="pose selection: best (step, hypothesis) over the "
+                         "whole loss history (default; never worse in loss "
+                         "than the init) or the reference's last-step rule")
     ap.add_argument("--shard", default="0/1", help="i/n per-host scene shard")
     ap.add_argument("--out", default=None, help="write full results JSON here")
     args = ap.parse_args()
@@ -106,15 +111,19 @@ def main():
         restart_jitter=tuple(
             float(v) for v in args.restart_jitter.split(",")
         ),
+        argmin_rule=args.argmin_rule,
     )
 
     print()
     print(f"{'level':24s} {'n':>4s} {'ADD mean':>10s} {'ADD med':>10s} "
-          f"{'acc@0.1d':>9s} {'AUC@0.1d':>9s} {'S-acc@0.1d':>10s}  mode")
+          f"{'acc@0.1d':>9s} {'AUC@0.1d':>9s} {'S-acc@0.1d':>10s} "
+          f"{'init-acc':>9s}  mode")
     for level, r in results.items():
+        init_acc = r.get("acc_01d_init")
         print(f"{level:24s} {r['n']:4d} {r['add_mean']:10.4f} "
               f"{r['add_med']:10.4f} {r['acc_01d']:9.3f} {r['auc_01d']:9.3f}"
               f" {r.get('adds_acc_01d', float('nan')):10.3f}"
+              f" {init_acc if init_acc is None else format(init_acc, '9.3f')}"
               f"  {r['mode']}")
 
     if args.out:

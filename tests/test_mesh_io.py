@@ -147,9 +147,11 @@ class TestLoadMesh:
         np.testing.assert_allclose(m.uv[2], [0.2, 1 - 0.4], atol=1e-6)
 
 
-def _make_glb(tmp_path, with_texture=False):
+def _make_glb(tmp_path, with_texture=False, nodes=None, sparse_pos=False):
     """Author a minimal valid GLB (two triangles, uv, vertex colors,
-    optional embedded PNG baseColorTexture) without external tooling."""
+    optional embedded PNG baseColorTexture) without external tooling.
+    ``nodes`` overrides the node list (scene roots = [0]); ``sparse_pos``
+    marks the POSITION accessor sparse (to test the unsupported-raise)."""
     import json
     import struct
 
@@ -194,10 +196,12 @@ def _make_glb(tmp_path, with_texture=False):
                              "type": "SCALAR"})
     prim = {"attributes": {"POSITION": a_pos, "TEXCOORD_0": a_uv,
                            "COLOR_0": a_col}, "indices": a_idx, "mode": 4}
+    if sparse_pos:
+        accessors[a_pos]["sparse"] = {"count": 1}
     gltf = {
         "asset": {"version": "2.0"},
         "scenes": [{"nodes": [0]}],
-        "nodes": [{"mesh": 0}],
+        "nodes": nodes if nodes is not None else [{"mesh": 0}],
         "meshes": [{"primitives": [prim]}],
         "bufferViews": views,
         "accessors": accessors,
@@ -263,6 +267,42 @@ def test_glb_embedded_texture(tmp_path):
     assert m.corner_colors is not None
     np.testing.assert_allclose(m.corner_colors[0, 0], [1, 0, 0], atol=0.05)
     np.testing.assert_allclose(m.corner_colors[0, 2], [0, 0, 1], atol=0.05)
+
+
+def test_glb_node_transforms(tmp_path):
+    """Node world transforms are APPLIED (trimesh-backed reference parity):
+    a TRS child under a matrix parent lands the vertices at
+    parent @ child @ pos."""
+    from diffdope_tpu.mesh import load_glb
+
+    # parent: column-major matrix = translate +10 in x; child: TRS with
+    # 90-degree rotation about z (quat) and uniform scale 2
+    parent_matrix = [1, 0, 0, 0,
+                     0, 1, 0, 0,
+                     0, 0, 1, 0,
+                     10, 0, 0, 1]
+    s = np.sqrt(0.5)
+    nodes = [
+        {"matrix": parent_matrix, "children": [1]},
+        {"mesh": 0, "rotation": [0, 0, float(s), float(s)],
+         "scale": [2, 2, 2]},
+    ]
+    p, pos, _ = _make_glb(tmp_path, nodes=nodes)
+    data = load_glb(p)
+    rot = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], float)
+    expect = (pos * 2.0) @ rot.T + np.array([10, 0, 0])
+    np.testing.assert_allclose(data["vertices"], expect, atol=1e-5)
+
+
+def test_glb_sparse_accessor_raises(tmp_path):
+    """Sparse accessors would silently load wrong geometry — must raise."""
+    import pytest
+
+    from diffdope_tpu.mesh import load_glb
+
+    p, _, _ = _make_glb(tmp_path, sparse_pos=True)
+    with pytest.raises(ValueError, match="sparse"):
+        load_glb(p)
 
 
 def test_ply_quad_faces(tmp_path):

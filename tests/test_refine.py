@@ -222,3 +222,112 @@ def test_refine_with_restarts():
     mtx = np.asarray(result.mtx_history)
     spread_post = np.ptp(mtx[3, :, :3, 3], axis=0).max()
     assert spread_post <= 2 * 0.01 + 0.05, spread_post
+
+
+def test_argmin_step_hypothesis_rules():
+    """best_step picks the global (step, hypothesis) minimum over the whole
+    history (so a hypothesis that visited a good pose and then diverged
+    still wins at its good step); last_step reproduces the reference rule
+    (get_argmin, reference diffdope.py:1488-1513)."""
+    from diffdope_tpu.optimize import argmin_step_hypothesis
+
+    # two terms, 4 steps, 3 hypotheses; mean-of-terms is what is ranked
+    a = np.array(
+        [[5.0, 5.0, 5.0],
+         [4.0, 0.2, 5.0],   # hyp 1 visits the best pose at step 1...
+         [4.0, 3.0, 5.0],
+         [1.0, 9.0, 5.0]],  # ...then diverges; hyp 0 is best at the end
+        np.float32,
+    )
+    losses = {"rgb": jnp.asarray(a), "mask_selection": jnp.asarray(a * 3.0)}
+
+    s, b = argmin_step_hypothesis(losses, "best_step")
+    assert (int(s), int(b)) == (1, 1)
+
+    s, b = argmin_step_hypothesis(losses, "last_step")
+    assert (int(s), int(b)) == (3, 0)
+    # last_step matches the original single-index rule
+    assert int(b) == int(argmin_hypothesis(losses))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        argmin_step_hypothesis(losses, "bogus")
+
+
+def test_best_step_never_worse_than_init():
+    """The best_step winner's logged loss can never exceed step 0's best —
+    step 0 scores the init pose itself, so the selected pose is never worse
+    (in loss) than where the refinement started.  Drive a refinement with a
+    destructively large LR so the trajectory genuinely diverges."""
+    from diffdope_tpu.optimize import argmin_step_hypothesis
+
+    render_fn = _setup()
+    b = 4
+    q_gt = geo.quat_from_axis_angle(np.array([0.0, 1.0, 0.0]), 0.3)
+    t_gt = np.array([0.0, 0.0, -3.0], np.float32)
+    mtx_gt, _, _ = pose_matrix(pose_params(np.asarray(q_gt, np.float32), t_gt, 1))
+    gtr = jax.jit(render_fn)(mtx_gt)
+    gt = {"rgb": gtr["rgb"][0], "segmentation": gtr["mask"][0],
+          "depth": gtr["depth"][0]}
+
+    # tiny init error + huge SGD base_lr: steps overshoot immediately
+    dq = geo.quat_from_axis_angle(np.array([1.0, 0.2, 0.0]), np.deg2rad(1.0))
+    q0 = np.asarray(geo.quat_multiply(jnp.asarray(dq), jnp.asarray(q_gt)))
+    params0 = pose_params(q0.astype(np.float32), t_gt, b)
+    loss_fns, weights = select_losses({"l1_mask": True, "weight_mask": 1.0})
+    lrs = draw_learning_rates(jax.random.PRNGKey(0), b, (0.01, 100.0))
+    result = jax.jit(
+        lambda p: refine(p, render_fn, loss_fns, gt, lrs, weights,
+                         nb_iterations=12, base_lr=500.0, optimizer="sgd")
+    )(params0)
+
+    mean = np.asarray(
+        jnp.mean(jnp.stack(list(result.losses_values.values()), 0), axis=0)
+    )  # (steps, B)
+    s, hyp = argmin_step_hypothesis(result.losses_values, "best_step")
+    s, hyp = int(s), int(hyp)
+    assert mean[s, hyp] <= mean[0].min() + 1e-7
+    assert mean[s, hyp] == mean.min()
+
+
+def test_restarts_segmented_identical():
+    """refine_with_restarts(segment_steps=k) chunks each restart segment's
+    device dispatches while carrying optimizer state — numerically identical
+    history to the one-dispatch-per-restart run."""
+    import functools
+
+    from diffdope_tpu.optimize import refine_with_restarts
+    from diffdope_tpu.testing import synthetic_scene
+
+    b = 4
+    scene = synthetic_scene(
+        subdiv=1, resolution=(32, 32), batchsize=b, seed=3,
+        raster_impl="reference", perturb_deg=15.0,
+    )
+    loss_fns, weights = select_losses({"l1_mask": True, "weight_mask": 1.0})
+    lrs = draw_learning_rates(jax.random.PRNGKey(1), b, (0.5, 2.0))
+    jit_refine = jax.jit(
+        functools.partial(
+            refine, render_fn=scene["render_fn"], loss_fns=tuple(loss_fns),
+            weights=weights, nb_iterations=7, base_lr=0.05, lr_decay=0.1,
+            optimizer="adam",
+        ),
+        static_argnames=("num_steps",),
+    )
+    kw = dict(
+        nb_iterations=7, restarts=1, restart_jitter_deg=5.0,
+        restart_jitter_trans=0.01, key=jax.random.PRNGKey(2),
+        jit_refine=jit_refine,
+    )
+    r_whole = refine_with_restarts(
+        scene["params0"], None, (), scene["gt"], lrs, weights, **kw)
+    r_chunk = refine_with_restarts(
+        scene["params0"], None, (), scene["gt"], lrs, weights,
+        segment_steps=3, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(r_whole.mtx_history), np.asarray(r_chunk.mtx_history))
+    for k in r_whole.losses_values:
+        np.testing.assert_array_equal(
+            np.asarray(r_whole.losses_values[k]),
+            np.asarray(r_chunk.losses_values[k]))
