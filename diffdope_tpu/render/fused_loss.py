@@ -598,7 +598,7 @@ fused_loss_sums.defvjp(_vjp_fwd, _vjp_bwd)
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def raster_loss_compact(
     bins_c: Array,
     tile_counts: Array,
@@ -611,6 +611,7 @@ def raster_loss_compact(
     n_attr: int,
     interpret: bool = False,
     roi: Optional[Tuple[int, int, int, int]] = None,
+    d_rows_bf16: bool = True,
 ) -> Array:
     """(B, 3) loss sums from the compact bin table in one differentiable
     op (rgb+mask path: no dplane/colors — the depth/texture variants keep
@@ -622,16 +623,22 @@ def raster_loss_compact(
     be pre-sliced to the crop (pipeline.make_fused_loss).  Per-pixel math
     is bit-identical to the full frame; the loss sums match exactly as
     long as no triangle renders within 2 px of a crop edge (guarded by the
-    `_crop_leak` telemetry)."""
+    `_crop_leak` telemetry).
+
+    d_rows_bf16 selects the dtype of the d_rows cotangent crossing the
+    backward kernels (the op's one HBM-boundary rounding; see the module
+    comment above).  It is a TRACE-TIME choice baked into the compiled
+    program — callers resolve it once at build time
+    (pipeline.make_fused_loss reads DD_DROWS_BF16 there)."""
     sums, _ = _rlc_fwd(
         bins_c, tile_counts, off_c, used, gt6, resolution, tile_hw, ncmax,
-        n_attr, interpret, roi,
+        n_attr, interpret, roi, d_rows_bf16,
     )
     return sums
 
 
 def _rlc_fwd(bins_c, tile_counts, off_c, used, gt6, resolution, tile_hw,
-             ncmax, n_attr, interpret, roi=None):
+             ncmax, n_attr, interpret, roi=None, d_rows_bf16=True):
     from diffdope_tpu.render.raster_v2 import _fwd_from_bins_compact
 
     ids_cm, idpix, rows, bounds = _fwd_from_bins_compact(
@@ -646,19 +653,13 @@ def _rlc_fwd(bins_c, tile_counts, off_c, used, gt6, resolution, tile_hw,
     return sums, res
 
 
-def _rlc_bwd(resolution, tile_hw, ncmax, n_attr, interpret, roi, res,
-             d_sums):
-    import os
-
+def _rlc_bwd(resolution, tile_hw, ncmax, n_attr, interpret, roi,
+             d_rows_bf16, res, d_sums):
     from diffdope_tpu.render.raster_v2 import _compact_dbins
 
     (rows, idpix, gt6, tids, tile_counts, off_c, used, ids_cm,
      bounds) = res
-    d_dtype = (
-        jnp.bfloat16
-        if os.environ.get("DD_DROWS_BF16", "1") == "1"
-        else jnp.float32
-    )
+    d_dtype = jnp.bfloat16 if d_rows_bf16 else jnp.float32
     d_rows, _, _ = backward_pass(
         rows, idpix, gt6, None, None, resolution, n_attr, interpret,
         d_sums, d_rows_dtype=d_dtype, roi=roi,

@@ -572,6 +572,13 @@ def make_fused_loss(
     interpret = jax.default_backend() not in ("tpu", "axon")
     npx = float(h * w)
     baked_lrs = learning_rates
+    # BUILD-TIME option (read once here, not inside the compiled VJP): the
+    # spanning op's d_rows cotangent dtype.  bf16 (default) halves the
+    # largest per-step HBM intermediate; one rounding of the per-pixel
+    # cotangents to 8 mantissa bits before the f32 accumulation (~2e-3
+    # relative grad effect, tolerance-tested in test_fused_loss.py).
+    # Flipping the env var after this closure is built has no effect.
+    drows_bf16 = _os.environ.get("DD_DROWS_BF16", "1") == "1"
 
     def fn(mtx, gt_arrays=None, learning_rates=None):
         # learning_rates may be passed traced (optimize.refine does, so a
@@ -697,6 +704,7 @@ def make_fused_loss(
                         packed_b, counts_k, off_c, usedc, gt6_k,
                         res_k, tuple(tile_hw),
                         idx.shape[1] // kc, n_attr, interpret, roi_k,
+                        drows_bf16,
                     )
                 else:
                     ids, rows = raster_gather_rows_compact(
