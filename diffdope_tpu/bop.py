@@ -38,7 +38,12 @@ PERTURBATION_LEVELS = (
 
 
 def parse_level(level: str):
-    """'deg_010_trans_004' -> (10.0 degrees, 4.0 mm)."""
+    """'deg_010_trans_004' -> (10.0, 4.0): rotation error in degrees and
+    translation error magnitude in the perturbation JSONs' native unit
+    (the Diff-DOPE paper's 1/4/16 cm levels).  The synthesized protocol
+    applies it as ``value * obj_scale`` working units — e.g. 0.04 at the
+    default obj_scale=0.01, i.e. 4 cm at the sweep's metre-ish frame
+    (camera 2.0 units from the object)."""
     parts = level.split("_")
     return float(parts[1]), float(parts[3])
 
@@ -416,7 +421,7 @@ def _sweep_synth_objects(objs, level, scene_id, frame, mesh_path, obj_scale,
                          obj_scale, seed, optimizer, base_lr, lr_bounds,
                          loss_weights, init_jitter)
     geo = ctx["geo"]
-    deg, trans_mm = parse_level(level)
+    deg, trans_mag = parse_level(level)
     rng = np.random.default_rng(
         seed + zlib.crc32(f"{level}/{scene_id}/{frame}".encode())
     )
@@ -431,14 +436,14 @@ def _sweep_synth_objects(objs, level, scene_id, frame, mesh_path, obj_scale,
         t_gt = np.array([0.0, 0.0, -2.0], np.float32)
         gt, mtx_gt = ctx["gt_render"](jnp.asarray(q_gt), jnp.asarray(t_gt))
 
-        # init: gt perturbed by the level's magnitudes; trans_mm is in BOP
-        # millimetres, working units are mm * obj_scale (the same scaling
-        # applied to cam_t_m2c)
+        # init: gt perturbed by the level's magnitudes; the level value
+        # scales by obj_scale into working units (parse_level docstring) —
+        # the same scaling applied to cam_t_m2c
         dq = geo.quat_from_axis_angle(rng.normal(size=3), np.deg2rad(deg))
         q0 = np.asarray(geo.quat_multiply(jnp.asarray(dq), jnp.asarray(q_gt)),
                         np.float32)
         dt = rng.normal(size=3)
-        dt = dt / np.linalg.norm(dt) * trans_mm * obj_scale
+        dt = dt / np.linalg.norm(dt) * trans_mag * obj_scale
         t0 = (t_gt + dt).astype(np.float32)
 
         p0 = ctx["pose_params"](q0, t0, batchsize)

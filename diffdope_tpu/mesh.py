@@ -323,6 +323,53 @@ def load_obj(path) -> Dict[str, np.ndarray]:
     return out
 
 
+def load_stl(path) -> Dict[str, np.ndarray]:
+    """STL loader (binary + ascii), same dict contract as :func:`load_ply`.
+
+    STL stores independent triangles (no shared-vertex topology or
+    attributes); exact-duplicate vertices are welded back so silhouette
+    edge adjacency and winding repair work.  Per-facet normals are
+    dropped (recomputed downstream when needed).  Closes the practical
+    remainder of the reference's trimesh.load format breadth
+    (reference diffdope.py:784).
+    """
+    path = Path(path)
+    raw = path.read_bytes()
+
+    # ascii STLs start with 'solid', but some binary exporters write that
+    # too — trust the binary triangle-count arithmetic over the prefix
+    is_binary = len(raw) >= 84
+    if is_binary:
+        (ntri,) = np.frombuffer(raw[80:84], "<u4")
+        is_binary = len(raw) >= 84 + int(ntri) * 50
+    if is_binary:
+        rec = np.frombuffer(
+            raw, dtype=np.dtype([("n", "<f4", 3), ("v", "<f4", (3, 3)),
+                                 ("attr", "<u2")]),
+            count=int(ntri), offset=84,
+        )
+        tri_pts = rec["v"].astype(np.float32).reshape(-1, 3)
+    else:
+        pts = []
+        for line in raw.decode("ascii", "replace").splitlines():
+            parts = line.split()
+            if parts[:1] == ["vertex"]:
+                pts.append([float(parts[1]), float(parts[2]),
+                            float(parts[3])])
+        if len(pts) % 3:
+            raise ValueError(f"{path}: ascii STL vertex count not a "
+                             f"multiple of 3 ({len(pts)})")
+        tri_pts = np.asarray(pts, np.float32).reshape(-1, 3)
+    if len(tri_pts) == 0:
+        raise ValueError(f"{path}: no triangles")
+
+    verts, inverse = np.unique(tri_pts, axis=0, return_inverse=True)
+    return {
+        "vertices": verts.astype(np.float32),
+        "faces": inverse.reshape(-1, 3).astype(np.int32),
+    }
+
+
 # ---------------------------------------------------------------------------
 # glTF / GLB parsing (the reference loads any trimesh-readable format,
 # reference diffdope.py:784; .glb is the common interchange one beyond
@@ -809,7 +856,7 @@ def load_mesh(
     """Load a PLY/OBJ mesh with the reference's conventions.
 
     Args:
-        path: mesh file (.ply or .obj).
+        path: mesh file (.ply, .obj, .glb/.gltf, or .stl).
         scale: vertex scale factor (reference diffdope.py:793).
         vertex_pad / triangle_pad: pad counts to multiples of these so XLA
             sees static, aligned shapes.
@@ -827,6 +874,8 @@ def load_mesh(
         data = load_obj(path)
     elif path.suffix.lower() in (".glb", ".gltf"):
         data = load_glb(path)
+    elif path.suffix.lower() == ".stl":
+        data = load_stl(path)
     else:
         raise ValueError(f"unsupported mesh format: {path.suffix}")
 

@@ -377,3 +377,57 @@ def test_ply_no_normals(tmp_path):
     nrm = m.vtx_normals[:3]
     np.testing.assert_allclose(np.linalg.norm(nrm, axis=1), 1.0, atol=1e-5)
     np.testing.assert_allclose(np.abs(nrm[:, 2]), 1.0, atol=1e-5)
+
+
+def _stl_tetra():
+    """4 vertices / 4 faces of a tetrahedron, as independent STL facets."""
+    v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float32)
+    f = np.array([[0, 2, 1], [0, 1, 3], [0, 3, 2], [1, 2, 3]], np.int32)
+    return v, f
+
+
+def test_stl_binary_roundtrip(tmp_path):
+    """Binary STL: facets weld back to shared vertices; Mesh loads."""
+    import struct
+
+    from diffdope_tpu.mesh import load_mesh, load_stl
+
+    v, f = _stl_tetra()
+    buf = b"B" * 80 + struct.pack("<I", len(f))
+    for tri in f:
+        buf += struct.pack("<3f", 0, 0, 0)
+        for i in tri:
+            buf += struct.pack("<3f", *v[i])
+        buf += struct.pack("<H", 0)
+    p = tmp_path / "tetra.stl"
+    p.write_bytes(buf)
+
+    data = load_stl(p)
+    assert data["vertices"].shape == (4, 3)
+    assert data["faces"].shape == (4, 3)
+    # welding preserves the triangle point sets
+    got = {frozenset(map(tuple, data["vertices"][tri])) for tri in data["faces"]}
+    want = {frozenset(map(tuple, v[tri])) for tri in f}
+    assert got == want
+
+    m = load_mesh(p, scale=2.0)
+    assert m.num_vertices == 4 and m.num_triangles == 4
+    assert m.is_closed  # tetra is watertight -> culling-eligible
+
+
+def test_stl_ascii_roundtrip(tmp_path):
+    from diffdope_tpu.mesh import load_stl
+
+    v, f = _stl_tetra()
+    lines = ["solid tetra"]
+    for tri in f:
+        lines += ["facet normal 0 0 0", "outer loop"]
+        lines += [f"vertex {v[i][0]} {v[i][1]} {v[i][2]}" for i in tri]
+        lines += ["endloop", "endfacet"]
+    lines.append("endsolid tetra")
+    p = tmp_path / "tetra_ascii.stl"
+    p.write_text("\n".join(lines))
+
+    data = load_stl(p)
+    assert data["vertices"].shape == (4, 3)
+    assert data["faces"].shape == (4, 3)
