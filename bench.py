@@ -53,7 +53,13 @@ def log(*args):
 
 def build_problem():
     """AlphabetSoup (real BOP-scale mesh, 13.8k tris) when available;
-    otherwise a synthetic icosphere of comparable complexity."""
+    otherwise a synthetic icosphere of comparable complexity.
+
+    All mesh/camera constants stay HOST (numpy): jit closure constants
+    that live on device are fetched back to host at lowering, and the
+    first device->host read of a process pays a 15-400s tunnel channel
+    init (diffdope_tpu/devices.py) — this was the round-4 '250s gt render
+    compile' mystery."""
     import jax.numpy as jnp
 
     from diffdope_tpu import geometry as geo
@@ -63,9 +69,9 @@ def build_problem():
 
     h, w = RES
     f = 1.2 * max(h, w)
-    proj = jnp.asarray(
+    proj = np.asarray(
         geo.projection_from_intrinsics(f, f, w / 2, h / 2, w, h, 0.01, 100.0),
-        jnp.float32,
+        np.float32,
     )
 
     import os as _os
@@ -75,31 +81,31 @@ def build_problem():
         mesh_path = Path("/nonexistent")  # force the closed synthetic mesh
     if mesh_path.exists():
         m = load_mesh(mesh_path, scale=0.01, vertex_pad=128, triangle_pad=128)
-        pos = jnp.asarray(m.pos)
-        tri = jnp.asarray(m.pos_idx)
-        edge_adj = jnp.asarray(m.edge_adj)
+        pos = np.asarray(m.pos)
+        tri = np.asarray(m.pos_idx)
+        edge_adj = np.asarray(m.edge_adj)
         # DD_TEXTURE=exact: per-pixel bilinear sampling (the reference's
         # dr.texture(filter_mode='linear') contract) instead of the default
         # per-corner bake — unfused path, measured for the baked-vs-exact
         # speed/accuracy tradeoff (docs/ROADMAP.md)
         if _os.environ.get("DD_TEXTURE", "baked") == "exact" and m.tex is not None:
             kw = dict(
-                tex=jnp.asarray(m.tex), uv=jnp.asarray(m.uv),
-                uv_idx=jnp.asarray(m.uv_idx),
+                tex=np.asarray(m.tex), uv=np.asarray(m.uv),
+                uv_idx=np.asarray(m.uv_idx),
             )
             log(f"mesh: AlphabetSoup {m.num_triangles} tris (exact bilinear texture)")
         else:
-            kw = dict(corner_colors=jnp.asarray(m.corner_colors))
+            kw = dict(corner_colors=np.asarray(m.corner_colors))
             log(f"mesh: AlphabetSoup {m.num_triangles} tris (texture baked to corners)")
     else:
         from diffdope_tpu.mesh import build_edge_adjacency
         from diffdope_tpu.testing import icosphere
 
         v, fc = icosphere(5)  # 20480 tris
-        pos = jnp.asarray(v * 0.4)
-        tri = jnp.asarray(fc)
-        edge_adj = jnp.asarray(build_edge_adjacency(fc))
-        kw = dict(vtx_color=jnp.asarray((v * 0.5 + 0.5).astype(np.float32)))
+        pos = (v * 0.4).astype(np.float32)
+        tri = np.asarray(fc)
+        edge_adj = np.asarray(build_edge_adjacency(fc))
+        kw = dict(vtx_color=(v * 0.5 + 0.5).astype(np.float32))
         log("mesh: synthetic icosphere 20480 tris")
 
     import os
@@ -283,7 +289,14 @@ def main():
     from diffdope_tpu.optimize import draw_learning_rates, refine, refine_segmented
 
     log(f"devices: {jax.devices()}")
+    # kick off the tunnel's device->host channel init NOW, on a thread —
+    # the first fetch of a process costs 15-400s (devices.py) and would
+    # otherwise serialize into the first diagnostic scalar read below
+    from diffdope_tpu.devices import warm_transfers_async
+
+    warm_join = warm_transfers_async()
     render_fn, gt, params0, fused_ctx = build_problem()
+    warm_join(log)
     loss_fns, weights = select_losses(
         {"l1_mask": True, "weight_mask": 1.0, "l1_rgb_with_mask": True, "weight_rgb": 0.7}
     )

@@ -119,7 +119,12 @@ def sweep_perturbation_levels(
     Returns {level: {'n', 'add_mean', 'add_med', 'acc_01d', 'auc_01d',
                      'mode', 'per_object': [...]}}.
     """
+    from diffdope_tpu.devices import warm_transfers_async
     from diffdope_tpu.metrics import add_auc
+
+    # overlap the tunnel's one-time device->host channel init (15-400s on
+    # the axon backend, devices.py) with the sweep's first trace/compile
+    warm_transfers_async()
 
     levels = list(levels or PERTURBATION_LEVELS)
     scenes = find_error_scenes(data_root, dataset)
@@ -260,17 +265,20 @@ def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
 
     h, w = resolution
     f = 1.2 * max(h, w)
-    proj = jnp.asarray(
+    # HOST (numpy) constants on purpose: jit closure constants that live on
+    # device are fetched back to host at lowering — minutes on the tunnel
+    # backend (see DiffDope._mesh_arrays / docs/ROADMAP.md)
+    proj = np.asarray(
         geo.projection_from_intrinsics(f, f, w / 2, h / 2, w, h, 0.01, 100.0),
-        jnp.float32,
+        np.float32,
     )
     mesh = load_mesh(mesh_path, scale=obj_scale, vertex_pad=128,
                      triangle_pad=128)
-    pos = jnp.asarray(mesh.pos)
-    tri = jnp.asarray(mesh.pos_idx)
-    edge_adj = jnp.asarray(mesh.edge_adj)
-    cc = jnp.asarray(mesh.corner_colors) if mesh.corner_colors is not None else None
-    vc = jnp.asarray(mesh.vtx_color) if cc is None else None
+    pos = np.asarray(mesh.pos)
+    tri = np.asarray(mesh.pos_idx)
+    edge_adj = np.asarray(mesh.edge_adj)
+    cc = np.asarray(mesh.corner_colors) if mesh.corner_colors is not None else None
+    vc = np.asarray(mesh.vtx_color) if cc is None else None
     color_kw = dict(corner_colors=cc) if cc is not None else dict(vtx_color=vc)
 
     # auto backface culling: provably output-preserving for closed
@@ -358,7 +366,7 @@ def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
     from diffdope_tpu.metrics import subsample_points
 
     pts = subsample_points(np.asarray(mesh.pos[: mesh.num_vertices]))
-    pts_j = jnp.asarray(pts)
+    pts_j = pts  # host constant (device constants stall lowering — above)
 
     @jax.jit
     def score(mtx_est, mtx_gt):

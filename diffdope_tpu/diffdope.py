@@ -189,28 +189,34 @@ class DiffDope:
     # render closure
     # ------------------------------------------------------------------ #
     def _mesh_arrays(self) -> dict:
+        # HOST (numpy) arrays on purpose: these become jit CLOSURE
+        # constants, and lowering a device-resident constant fetches its
+        # value back to host to embed it in the program — on a remote
+        # backend (axon tunnel) the first such device->host read can cost
+        # minutes (measured 15-207s channel init; docs/ROADMAP.md).
+        # Host constants embed directly with no round trip.
         mesh = self.object3d.mesh
         if mesh is None:
             raise ValueError("Object3D has no mesh attached")
         out = {
-            "pos": jnp.asarray(mesh.pos),
-            "pos_idx": jnp.asarray(mesh.pos_idx),
-            "edge_adj": jnp.asarray(mesh.edge_adj) if mesh.edge_adj is not None else None,
+            "pos": np.asarray(mesh.pos),
+            "pos_idx": np.asarray(mesh.pos_idx),
+            "edge_adj": np.asarray(mesh.edge_adj) if mesh.edge_adj is not None else None,
         }
         texture_mode = str(self.cfg.get("tpu", ConfigNode()).get("texture_mode", "baked"))
         if mesh.has_textured_map:
             if texture_mode == "baked" and mesh.corner_colors is not None:
                 # texture pre-baked to per-corner colors (mesh.py) — zero
                 # texture gathers per step on TPU
-                out["corner_colors"] = jnp.asarray(mesh.corner_colors)
+                out["corner_colors"] = np.asarray(mesh.corner_colors)
             else:
                 out.update(
-                    uv=jnp.asarray(mesh.uv),
-                    uv_idx=jnp.asarray(mesh.uv_idx),
-                    tex=jnp.asarray(mesh.tex),
+                    uv=np.asarray(mesh.uv),
+                    uv_idx=np.asarray(mesh.uv_idx),
+                    tex=np.asarray(mesh.tex),
                 )
         else:
-            out["vtx_color"] = jnp.asarray(mesh.vtx_color)
+            out["vtx_color"] = np.asarray(mesh.vtx_color)
         return out
 
     def _resolve_max_tris(self, arrays, proj, resolution) -> int:
@@ -358,7 +364,7 @@ class DiffDope:
 
     def _make_render_fn(self, layout: str = "channels", with_bins: bool = False):
         arrays = self._mesh_arrays()
-        proj = jnp.asarray(self.camera.cam_proj, jnp.float32)
+        proj = np.asarray(self.camera.cam_proj, np.float32)
         resolution = tuple(self.resolution)
         max_tris = self._resolve_max_tris(arrays, proj, resolution)
 
@@ -444,7 +450,7 @@ class DiffDope:
         if impl != "pallas":
             return None
 
-        proj = jnp.asarray(self.camera.cam_proj, jnp.float32)
+        proj = np.asarray(self.camera.cam_proj, np.float32)
         resolution = tuple(self.resolution)
         max_tris = self._resolve_max_tris(arrays, proj, resolution)
         bins = (
@@ -758,7 +764,7 @@ class DiffDope:
                 bin_triangles_planar, corner_planes, packed_planar,
             )
 
-            proj = jnp.asarray(self.camera.cam_proj, jnp.float32)
+            proj = np.asarray(self.camera.cam_proj, np.float32)
             resolution = tuple(self.resolution)
             max_tris = self._resolve_max_tris(arrays, proj, resolution)
 

@@ -460,7 +460,10 @@ def make_fused_loss(
 
             tp = pack_bilinear_blocks4(tex)
             if tp is not None:
-                tex_packed = jnp.asarray(tp)
+                # host constant on purpose: device-resident closure
+                # constants are fetched back to host at lowering (minutes
+                # on the tunnel backend — see DiffDope._mesh_arrays)
+                tex_packed = np.asarray(tp)
     elif corner_colors is not None:
         attr_corner_vals = corner_colors
     elif vtx_color is not None:
