@@ -390,6 +390,13 @@ def main():
     dt = min(times)
     log(f"steady-state refinement times: {[f'{t:.3f}' for t in times]}")
     log(f"final loss: {float(np.asarray(result.total_loss)[-1]):.5f}")
+    # scan telemetry: nonzero counts mean degraded renders this bench run
+    # (bin overflow drops (tile,tri) pairs; crop leak = silhouette pixels
+    # escaping the ROI crop — pipeline.make_fused_loss)
+    for tk in ("_bin_overflow", "_crop_leak"):
+        v = (result.telemetry or {}).get(tk)
+        if v is not None and int(np.asarray(v).max(initial=0)) > 0:
+            log(f"WARNING {tk}: up to {int(np.asarray(v).max())}/step")
 
     value = 1.0 / dt  # refinements per second (64 hyps, 100 steps, 400x400)
     mesh_note = f", mesh-axis {mesh_axis}" if mesh_axis > 1 else ""

@@ -560,7 +560,13 @@ def make_fused_loss(
         rows_any = (seg_any > 0).any(axis=1)
         cols_any = (seg_any > 0).any(axis=0)
         if rows_any.any():
-            margin = int(_os.environ.get("DD_CROP_MARGIN", "48"))
+            # 24 px default: covers the bench protocol's drift (8 deg +
+            # ~25 px translation) with zero measured leaks and matches
+            # margin-16's crop after tile alignment (48/32/24/16 ->
+            # 4.92/4.72/4.64/4.64 s, round-5 A/B); a too-small margin is
+            # caught per step by the _crop_leak telemetry and DiffDope's
+            # auto-recovery re-runs full-frame
+            margin = int(_os.environ.get("DD_CROP_MARGIN", "24"))
             r0 = int(np.argmax(rows_any))
             r1 = int(len(rows_any) - np.argmax(rows_any[::-1]))
             c0 = int(np.argmax(cols_any))
