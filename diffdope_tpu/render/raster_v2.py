@@ -336,6 +336,7 @@ def _fwd_kernel_body(
         # falls out of the BIN granularity instead.
         tws = tw // sub
         n_sub = pl.num_programs(1) * sub
+        idpix_parts = []  # sub > 1: per-sub-tile ids_out.T, written once below
         iq_s = jax.lax.broadcasted_iota(jnp.int32, (q * tws, 1), 0)
         jrow_s = iq_s // tws  # (q*tws, 1): 0..q-1
         if not compact:
@@ -513,9 +514,23 @@ def _fwd_kernel_body(
             else:
                 # ids block rows are sub-major: s*q*tws + j*tws + x'
                 ids_ref[0, 0, s * q * tws : (s + 1) * q * tws, :] = ids_out
-                idpix_ref[0, :, s * tws : (s + 1) * tws] = (
-                    ids_out.T.reshape(th, tws)
-                )
+                # the pixel-layout write is deferred to after the sub-tile
+                # loop: a direct (nq, q*tws).reshape(th, tws) is a
+                # lane->sublane split at tws < 128 lanes, which Mosaic's
+                # infer-vector-layout rejects ("unsupported shape cast")
+                idpix_parts.append(ids_out.T)  # (nq, q*tws)
+        if sub > 1:
+            # assemble the full 128-lane pixel block with supported ops:
+            # lane-concatenate the q*sub (nq, tws) column slices j-major
+            # (lane l = j*tw + s*tws + x'), then one (nq, q*tw) ->
+            # (th, tw=128) reshape — the same native-lane-width split the
+            # sub == 1 path lowers
+            parts = [
+                idpix_parts[si][:, jj * tws : (jj + 1) * tws]
+                for jj in range(q)
+                for si in range(sub)
+            ]
+            idpix_ref[0] = jnp.concatenate(parts, axis=1).reshape(th, tw)
         return
 
     # ---- phase A (x-windowed variant, xw > 0): per (chunk, quad), only
