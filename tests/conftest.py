@@ -84,6 +84,11 @@ def pytest_configure(config):
 
 _SLOW_TESTS = {
     # >= ~10s call time on the 8-device CPU mesh (pytest --durations)
+    "test_cropped_loss_matches_fullframe",
+    "test_spanning_op_matches_chained",
+    "test_restarts_segmented_identical",
+    "test_multi_block_grid_fwd_and_vjp",
+    "test_cropped_raster_bit_equals_fullframe_slice",
     "test_compact_gradients_match",
     "test_sharded_fused_loss_matches_unsharded",
     "test_fused_texture_matches_unfused",
