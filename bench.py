@@ -112,18 +112,23 @@ def build_problem():
     tile_h = int(os.environ.get("DD_TILE_H", "32"))
     # tile width < 128 selects sub-tile binning (raster_v2._sub_split):
     # narrower bins cut the raster kernels' evaluated (pixel, triangle)
-    # pairs ~in half per halving (6-px triangles vs the bin width)
-    tile_w = int(os.environ.get("DD_TILE_W", "128"))
+    # pairs ~in half per halving (6-px triangles vs the bin width).
+    # 64 default: measured 4.64 -> 4.17 s at bench scale (round 5; the
+    # pre-round-5 'measured dead' verdict was at full frame, where the
+    # extra per-tile base cost ate the win — post-ROI-crop it doesn't;
+    # DD_TILE_H=16 on top adds nothing, 4.178 vs 4.166)
+    tile_w = int(os.environ.get("DD_TILE_W", "64"))
     max_k = int(os.environ.get("DD_MAX_K", "2048"))
     # NB: AlphabetSoup has ~8% inconsistently-wound visible faces — culling
     # is wrong for it (validated); only enable for known-consistent meshes
     cull = os.environ.get("DD_CULL", "0") == "1"
 
     def render_fn(mtx, layout="channels", bins=None, max_occ=16,
-                  compact_total=None):
+                  compact_total=None, tile=None):
         return render_batch(
             proj, mtx, pos, tri, RES, edge_adj=edge_adj,
-            raster_impl="pallas", tile_hw=(tile_h, tile_w), max_tris_per_tile=max_k,
+            raster_impl="pallas", tile_hw=tile or (tile_h, tile_w),
+            max_tris_per_tile=max_k,
             layout=layout, cull_backfaces=cull, bins=bins, max_occ=max_occ,
             compact_total=compact_total, **kw,
         )
@@ -136,10 +141,16 @@ def build_problem():
 
     # everything on-device must be jitted: under the axon backend each
     # *distinct* eager primitive triggers a remote compile (~0.5s each)
+    # gt renders at the full 128-wide tile regardless of DD_TILE_W: tile
+    # shape never changes the rendered image (bit-exact, tests/
+    # test_subtile.py), but the UNFUSED stacked path at sub-tile widths
+    # costs ~270s of Mosaic compile (vs ~10s at 128) — only the fused
+    # refinement path benefits from sub-tile binning, so only it pays
+    # for the sub=2 kernel body
     @jax.jit
     def make_gt(q, t):
         mtx_gt, _, _ = pose_matrix(pose_params(q, t, 1))
-        r = render_fn(mtx_gt, layout="stacked")
+        r = render_fn(mtx_gt, layout="stacked", tile=(tile_h, 128))
         return {"rgb": r["rgb"][0], "segmentation": r["mask"][0], "depth": r["depth"][0]}
 
     t0 = time.perf_counter()
