@@ -110,7 +110,11 @@ def main():
             print(f"=== {dataset} / {mesh_name} ===", flush=True)
             t0 = time.time()
             r = sweep_perturbation_levels(
-                dataset=dataset, mesh_path=mesh_paths[mesh_name], **config
+                dataset=dataset, mesh_path=mesh_paths[mesh_name],
+                # line-flushed so redirected logs show live progress (the
+                # sweep runs tens of minutes; block buffering hides it)
+                log_fn=lambda *a: print(*a, flush=True),
+                **config
             )
             cell = {}
             for level, v in r.items():
