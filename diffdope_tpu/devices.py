@@ -30,10 +30,17 @@ def warm_transfers_async():
     """
     state = {"dt": None, "err": None}
 
+    # Backend/client initialization happens HERE, on the caller's thread:
+    # racing it from the daemon thread against the caller's own first jax
+    # call would serialize both on jax's init lock — with the caller
+    # blocked on a futex for as long as the tunnel handshake takes.
+    import jax
+
+    jax.devices()
+
     def _warm():
         t0 = time.perf_counter()
         try:
-            import jax
             import jax.numpy as jnp
             import numpy as np
 
