@@ -541,6 +541,24 @@ class DiffDope:
             # Execution is segmented: some environments kill single device
             # programs past ~60s.
             segment = int(tpu_cfg.get("scan_segment", 40))
+
+            # tpu.live_loss='step': per-STEP live loss from inside the
+            # compiled scan (jax.debug.callback) — the reference's tqdm
+            # granularity (diffdope.py:1654).  Each firing is a
+            # device->host round trip, so the default stays the free
+            # per-segment report below.
+            step_cb = None
+            if str(tpu_cfg.get("live_loss", "segment")) == "step":
+                self._live_base = 0
+
+                def step_cb(i, total, _self=self):
+                    log.info(
+                        "step %d/%d loss %.5f",
+                        _self._live_base + int(i) + 1,
+                        _self.nb_iterations + 1,
+                        float(total),
+                    )
+
             self._refine_jit = jax.jit(
                 partial(
                     refine,
@@ -552,6 +570,7 @@ class DiffDope:
                     lr_decay=self.lr_decay,
                     optimizer=self.optimizer_name,
                     fused_loss_fn=fused_fn,
+                    step_callback=step_cb,
                 ),
                 static_argnames=("num_steps",),
             )
@@ -607,17 +626,25 @@ class DiffDope:
                 show_progress = bool(tpu_cfg.get("progress", True))
 
                 def _progress(done, total_steps, last_loss):
-                    log.info(
-                        "refine %d/%d steps, loss %.5f",
-                        done, total_steps, last_loss,
-                    )
+                    # keeps the per-step callback's indices global across
+                    # segments (the scan's step_idx restarts per segment)
+                    self._live_base = done
+                    if step_cb is None:
+                        log.info(
+                            "refine %d/%d steps, loss %.5f",
+                            done, total_steps, last_loss,
+                        )
 
                 result = refine_segmented(
                     params0, render_fn, tuple(self.loss_functions), gt,
                     self.learning_rates, self.loss_weights,
                     nb_iterations=self.nb_iterations, segment_steps=segment,
                     jit_refine=self._refine_jit,
-                    progress_fn=_progress if show_progress else None,
+                    # step_cb needs _progress for its cross-segment offset
+                    progress_fn=(
+                        _progress if (show_progress or step_cb is not None)
+                        else None
+                    ),
                 )
             jax.block_until_ready(result.mtx_history)
             return result, time.perf_counter() - t0

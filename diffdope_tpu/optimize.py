@@ -176,6 +176,7 @@ def refine(
     fused_loss_fn: Optional[Callable] = None,
     loss_scale: float = 1.0,
     axis_name: Optional[str] = None,
+    step_callback: Optional[Callable] = None,
 ) -> RefineResult:
     """Run the full refinement as one scan.  Jit-compatible; call under jit.
 
@@ -210,6 +211,12 @@ def refine(
             telemetry are psum'd (pmax for *_max keys) so they report
             global values, and gradients of replicated ``extra_params``
             leaves are psum-reduced across shards.
+        step_callback: optional host fn ``(step_index, total_loss)`` fired
+            from INSIDE the scan via ``jax.debug.callback`` — per-STEP live
+            loss, matching the reference's tqdm bar granularity (reference
+            diffdope.py:1654, 1712).  Each firing is a device->host
+            round trip; on remote-tunnel backends prefer the per-segment
+            ``progress_fn`` of :func:`refine_segmented` (the default).
 
     Returns:
         RefineResult with per-step pose history and loss logs.
@@ -263,7 +270,7 @@ def refine(
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def step(carry, _):
+    def step(carry, step_idx):
         params, opt_state = carry
         (total, (logs, mtx)), grads = grad_fn(params)
         if axis_name is not None:
@@ -283,10 +290,12 @@ def refine(
             }
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if step_callback is not None:
+            jax.debug.callback(step_callback, step_idx, total)
         return (params, opt_state), {"logs": logs, "mtx": mtx, "total": total}
 
     (final_params, final_opt_state), ys = jax.lax.scan(
-        step, (all_params, opt_state), None, length=length
+        step, (all_params, opt_state), jnp.arange(length, dtype=jnp.int32)
     )
     # underscore keys are per-step telemetry (e.g. _bin_overflow), not loss
     # curves: keep them out of losses_values so argmin_hypothesis and the

@@ -331,3 +331,37 @@ def test_restarts_segmented_identical():
         np.testing.assert_array_equal(
             np.asarray(r_whole.losses_values[k]),
             np.asarray(r_chunk.losses_values[k]))
+
+
+def test_step_callback_fires_per_step():
+    """step_callback: per-step live loss from inside the compiled scan
+    (jax.debug.callback) — indices 0..n-1 in order, losses matching the
+    returned per-step totals."""
+    from diffdope_tpu.optimize import refine
+    from diffdope_tpu.testing import synthetic_scene
+
+    b = 4
+    scene = synthetic_scene(
+        subdiv=1, resolution=(32, 32), batchsize=b, seed=3,
+        raster_impl="reference",
+    )
+    loss_fns, weights = select_losses({"l1_mask": True, "weight_mask": 1.0})
+    lrs = draw_learning_rates(jax.random.PRNGKey(1), b, (0.5, 2.0))
+
+    seen = []
+
+    def cb(i, total):
+        seen.append((int(i), float(total)))
+
+    result = jax.jit(
+        partial(
+            refine, render_fn=scene["render_fn"],
+            loss_fns=tuple(loss_fns), weights=weights, nb_iterations=4,
+            base_lr=0.05, lr_decay=0.1, optimizer="adam", step_callback=cb,
+        )
+    )(scene["params0"], gt=scene["gt"], learning_rates=lrs)
+    jax.effects_barrier()
+    assert [i for i, _ in seen] == [0, 1, 2, 3, 4]
+    tl = np.asarray(result.total_loss)
+    for i, v in seen:
+        assert v == tl[i], (i, v, tl[i])
