@@ -233,11 +233,19 @@ def _sweep_real_frame(cfg, bop_root, models_dir, dataset, scene_id, frame,
 def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
                    obj_scale, seed, optimizer="adam", base_lr=0.02,
                    lr_bounds=(0.5, 4.0), loss_weights=(0.7, 0.0, 1.0),
-                   init_jitter=(0.0, 0.0)):
+                   init_jitter=(0.0, 0.0), capacity_boost=1.0,
+                   roi_crop="auto", probe_dz=0.2):
     """Jitted sweep machinery, built once per configuration.
 
     loss_weights = (rgb, depth, mask); 0 disables a term (the reference's
     default protocol is mask-only — configs/diffdope.yaml losses block).
+
+    capacity_boost scales the compact bin-table capacity and roi_crop is
+    forwarded to make_fused_loss — both are escalated by the overflow /
+    crop-leak recovery loop in _sweep_synth_objects (mirroring
+    DiffDope.run_optimization).  probe_dz is the closest-approach margin
+    the capacity probe assumes (worst-case translation perturbation of
+    the hardest sweep level, 0.16 * obj_scale, rounded up).
 
     Every device function takes the scene-varying values (poses, gt images)
     as TRACED arguments, so one compilation serves the whole sweep — under
@@ -245,7 +253,8 @@ def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
     """
     key = (str(mesh_path), tuple(resolution), batchsize, nb_iterations,
            obj_scale, seed, optimizer, base_lr, tuple(lr_bounds),
-           tuple(loss_weights), tuple(init_jitter))
+           tuple(loss_weights), tuple(init_jitter), capacity_boost,
+           roi_crop, probe_dz)
     if key in _synth_ctx_cache:
         return _synth_ctx_cache[key]
 
@@ -303,8 +312,13 @@ def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
     # needs sgd + wide bounds (its defaults: sgd, base_lr=20, [0.01, 100])
     lrs = draw_learning_rates(jax.random.PRNGKey(seed), batchsize, lr_bounds)
 
-    # compact bin table capacity from a probe at the protocol's fixed gt
-    # translation (the sweep re-bins every step; see planar.compact_bins)
+    # compact bin table capacity from a probe batch: the chunked per-tile
+    # sum varies strongly with ROTATION (tile occupancy redistributes) and
+    # grows ~1/z^2 as the object nears the camera, so a single canonical
+    # pose under-sizes the table (SWEEP_r05 saw up to 273k dropped
+    # (tile, triangle) pairs/step through the old identity-pose probe).
+    # Probe 16 random rotations at both the protocol distance and the
+    # closest approach the levels can perturb to, and size from the max.
     from diffdope_tpu.render.planar import (
         bin_triangles_planar, corner_planes, packed_planar,
     )
@@ -317,34 +331,51 @@ def _synth_context(mesh_path, resolution, batchsize, nb_iterations,
     kc_c = _pick_chunk(1024)
 
     @jax.jit
-    def _tot_probe(q, t):
-        mtx, _, _ = pose_matrix(pose_params(q, t, 1))
-        mvp = jnp.einsum("ij,bjk->bik", proj, mtx, precision="highest")
-        cp = corner_planes(pos[tri.reshape(-1)][None][0], mvp)
-        _, det = packed_planar(cp, None, None, None)
-        _, counts, _ = bin_triangles_planar(
-            cp, det, resolution, (32, 128), t_count
-        )
-        return jnp.sum(-(-counts // kc_c) * kc_c)
+    def _tot_probe(qs, ts):
+        def one(q, t):
+            mtx, _, _ = pose_matrix(pose_params(q, t, 1))
+            mvp = jnp.einsum("ij,bjk->bik", proj, mtx, precision="highest")
+            cp = corner_planes(pos[tri.reshape(-1)][None][0], mvp)
+            _, det = packed_planar(cp, None, None, None)
+            _, counts, _ = bin_triangles_planar(
+                cp, det, resolution, (32, 128), t_count
+            )
+            return jnp.sum(-(-counts // kc_c) * kc_c)
+
+        return jnp.max(jax.vmap(one)(qs, ts))
 
     import numpy as _np
 
-    tot0 = int(_tot_probe(
-        jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32),
-        jnp.asarray(_np.array([0.0, 0.0, -2.0], _np.float32)),
-    ))
-    compact_total = -(-int(tot0 * 1.6 + kc_c) // kc_c) * kc_c
+    prng = _np.random.default_rng(0)
+    qs = prng.normal(size=(16, 4)).astype(_np.float32)
+    qs /= _np.linalg.norm(qs, axis=1, keepdims=True)
+    qs[0] = (0.0, 0.0, 0.0, 1.0)
+    zs = _np.full((16,), -2.0, _np.float32)
+    zs[8:] = -2.0 + probe_dz  # closest approach across the sweep levels
+    ts = _np.zeros((16, 3), _np.float32)
+    ts[:, 2] = zs
+    tot0 = int(_tot_probe(jnp.asarray(qs), jnp.asarray(ts)))
+    compact_total = -(
+        -int(tot0 * 1.3 * capacity_boost + kc_c) // kc_c
+    ) * kc_c
     if jax.default_backend() not in ("tpu", "axon"):
         # interpret-mode pallas copies the whole resident table per tile
         # instance; the compact layout only pays on real hardware
         compact_total = None
+
+    # the per-tile slot cap is the OTHER overflow source (planar.
+    # bin_triangles_planar drops pairs past max_tris_per_tile before the
+    # compact table even sees them) — and on CPU, where compact is
+    # disabled, it is the ONLY one the boost can reach.  Scale it with the
+    # boost, chunk-aligned so _pick_chunk keeps dividing it.
+    max_tris_per_tile = -(-int(1024 * capacity_boost) // kc_c) * kc_c
 
     # gt deferred (None): fn(mtx, gt) — one trace serves every object
     fused = make_fused_loss(
         proj, pos, tri, resolution, None, lrs, weights,
         use_rgb=w_rgb > 0, use_depth=w_depth > 0, use_mask=w_mask > 0,
         edge_adj=edge_adj, compact_total=compact_total, cull_backfaces=cull,
-        **color_kw,
+        roi_crop=roi_crop, max_tris_per_tile=max_tris_per_tile, **color_kw,
     )
 
     @jax.jit
@@ -425,9 +456,24 @@ def _sweep_synth_objects(objs, level, scene_id, frame, mesh_path, obj_scale,
     import jax
     import jax.numpy as jnp
 
-    ctx = _synth_context(mesh_path, resolution, batchsize, nb_iterations,
-                         obj_scale, seed, optimizer, base_lr, lr_bounds,
-                         loss_weights, init_jitter)
+    # Overflow / crop-leak recovery state, persisted per configuration so
+    # later objects at an escalated level skip the degraded first attempt
+    # (each escalation retraces: ~30s on the tunnel backend)
+    esc_key = (str(mesh_path), tuple(resolution), batchsize, nb_iterations,
+               obj_scale, seed, optimizer, base_lr, tuple(lr_bounds),
+               tuple(loss_weights), tuple(init_jitter))
+    esc = _synth_escalation.setdefault(
+        esc_key, {"boost": 1.0, "roi_crop": "auto"}
+    )
+
+    def _ctx():
+        return _synth_context(
+            mesh_path, resolution, batchsize, nb_iterations, obj_scale,
+            seed, optimizer, base_lr, lr_bounds, loss_weights, init_jitter,
+            capacity_boost=esc["boost"], roi_crop=esc["roi_crop"],
+        )
+
+    ctx = _ctx()
     geo = ctx["geo"]
     deg, trans_mag = parse_level(level)
     rng = np.random.default_rng(
@@ -459,19 +505,52 @@ def _sweep_synth_objects(objs, level, scene_id, frame, mesh_path, obj_scale,
             p0 = ctx["jitter"](
                 p0, jax.random.PRNGKey(int(rng.integers(2 ** 31)))
             )
-        if restarts > 0:
-            from diffdope_tpu.optimize import refine_with_restarts
+        restart_key = jax.random.PRNGKey(int(rng.integers(2 ** 31)))
 
-            result = refine_with_restarts(
-                p0, None, (), gt, ctx["lrs"], ctx["weights"],
-                nb_iterations=nb_iterations, restarts=restarts,
-                restart_jitter_deg=restart_jitter[0],
-                restart_jitter_trans=restart_jitter[1],
-                key=jax.random.PRNGKey(int(rng.integers(2 ** 31))),
-                jit_refine=ctx["jit_refine"],
+        def _run(ctx):
+            if restarts > 0:
+                from diffdope_tpu.optimize import refine_with_restarts
+
+                return refine_with_restarts(
+                    p0, None, (), gt, ctx["lrs"], ctx["weights"],
+                    nb_iterations=nb_iterations, restarts=restarts,
+                    restart_jitter_deg=restart_jitter[0],
+                    restart_jitter_trans=restart_jitter[1],
+                    key=restart_key,
+                    jit_refine=ctx["jit_refine"],
+                )
+            return ctx["jit_refine"](p0, gt=gt, learning_rates=ctx["lrs"])
+
+        # Bin-overflow / crop-leak auto-recovery (the sweep-path analogue of
+        # DiffDope.run_optimization's loop, diffdope.py): a degraded run is
+        # discarded and re-run from the SAME init with a grown bin table /
+        # full-frame loss.  Escalation persists in `esc` for later objects.
+        for attempt in range(3):
+            result = _run(ctx)
+            telem = result.telemetry or {}
+            overflow = int(
+                np.asarray(telem.get("_bin_overflow", 0)).max(initial=0)
             )
-        else:
-            result = ctx["jit_refine"](p0, gt=gt, learning_rates=ctx["lrs"])
+            leak = int(
+                np.asarray(telem.get("_crop_leak", 0)).max(initial=0)
+            )
+            if (overflow == 0 and leak == 0) or attempt == 2:
+                break
+            if overflow > 0:
+                # overflow counts DROPPED (tile, triangle) pairs — growing
+                # the per-tile cap by at least that many slots guarantees
+                # the identical re-run fits (same init, same key), so size
+                # the boost from the measurement instead of guessing
+                esc["boost"] *= max(1.5, 1.0 + overflow / (1024 * esc["boost"]))
+                log_fn(f"  recovery {level} {scene_id}/{frame}#{i_obj}: "
+                       f"bin overflow up to {overflow}/step — capacity "
+                       f"x{esc['boost']:.2f}, re-running")
+            if leak > 0:
+                esc["roi_crop"] = "off"
+                log_fn(f"  recovery {level} {scene_id}/{frame}#{i_obj}: "
+                       f"ROI crop leak up to {leak}/step — full-frame, "
+                       f"re-running")
+            ctx = _ctx()
         s_best, b_best = ctx["argmin_sb"](
             {k: jnp.asarray(v) for k, v in result.losses_values.items()},
             argmin_rule,
@@ -510,6 +589,9 @@ def _sweep_synth_objects(objs, level, scene_id, frame, mesh_path, obj_scale,
 
 
 _synth_ctx_cache: Dict[tuple, dict] = {}
+# per-configuration recovery escalation (capacity boost / roi_crop) so a
+# level that overflowed once doesn't re-run degraded for every later object
+_synth_escalation: Dict[tuple, dict] = {}
 
 
 def load_bop_camera(scene_dir: Path, frame: str, image_hw, resize: float = 1.0) -> Optional[Camera]:
