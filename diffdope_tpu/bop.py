@@ -107,7 +107,7 @@ def sweep_perturbation_levels(
     * bop_root None (the repo ships only the JSONs): SYNTHESIZED protocol —
       the JSON pose is treated as ground truth, its image is rendered with
       the stand-in mesh, and the init is drawn by perturbing with the
-      level's own magnitudes (deg_010_trans_004 -> 10 deg, 4 mm).  Results
+      level's own magnitudes (deg_010_trans_004 -> 10 deg, 4 cm).  Results
       are honest refinement accuracy for the level's error scale, with the
       caveat that geometry is the stand-in mesh, and are labeled
       'synthesized'.
