@@ -293,10 +293,14 @@ def _fwd_kernel_body(
     colq_iota = jax.lax.broadcasted_iota(jnp.int32, (1, nq), 1)
 
     def quad_range(ci):
+        # bounds_ref is a (1, N) SMEM block holding just THIS hypothesis's
+        # row-bound table (streamed per grid row bi — whole-array scalar
+        # prefetch scaled as B*N and blew the 1MB SMEM at escalated
+        # compact totals; see _fwd_from_bins* in_specs)
         if compact:
-            v = bounds_ref[bi * totc + cb0 + ci]
+            v = bounds_ref[0, 0, cb0 + ci]
         else:
-            v = bounds_ref[(bi * pl.num_programs(1) + t) * n_chunks + ci]
+            v = bounds_ref[0, 0, t * n_chunks + ci]
         r_lo = jnp.clip(v // 1024 - 1 - y0, 0, th)
         r_hi = jnp.clip(v % 1024 - 1 - y0 + 1, 0, th)
         return r_lo // q, (r_hi + q - 1) // q
@@ -358,7 +362,7 @@ def _fwd_kernel_body(
 
             def quad_all(qi, ids_mat, tsub=tsub, count=count_s, cb0=cb0_s,
                          xq=xq_s, s=s):
-                qv = qwin_ref[(bi * n_sub + tsub) * nq + qi]
+                qv = qwin_ref[0, 0, tsub * nq + qi]
                 q_clo = qv // 256
                 q_chi = qv % 256
                 r0 = qi * q
@@ -585,7 +589,7 @@ def _fwd_kernel_body(
             okt = tile_lanes(slot_ok1)
 
             q_lo, q_hi = quad_range(ci)
-            xv = xwin_ref[(bi * nt + t) * n_chunks_s + ci]
+            xv = xwin_ref[0, 0, t * n_chunks_s + ci]
             clo = xv // 512
             chi = xv % 512
             x0a = jnp.minimum((clo // 8) * 8, tw - xw)
@@ -997,7 +1001,7 @@ def _fwd_kernel_body(
                 )  # (32, q*tw)
             return acc
 
-        qv = qwin_ref[(bi * pl.num_programs(1) + t) * nq + qi]
+        qv = qwin_ref[0, 0, t * nq + qi]
         if _os.environ.get("DD_SKIP_C") == "1":  # profiling only: no gather
             qv = 0
         acc = jax.lax.fori_loop(
@@ -1190,10 +1194,9 @@ def _bwd_kernel_body(
                 )  # (32, kc)
 
             if compact:
-                v = bounds_ref[bi * totc + cb0 + ci]
+                v = bounds_ref[0, 0, cb0 + ci]
             else:
-                n_sub = pl.num_programs(1) * sub
-                v = bounds_ref[(bi * n_sub + tsub) * n_chunks + ci]
+                v = bounds_ref[0, 0, tsub * n_chunks + ci]
             r_lo = jnp.clip(v // 1024 - 1 - y0, 0, th)
             r_hi = jnp.clip(v % 1024 - 1 - y0 + 1, 0, th)
             acc = jax.lax.fori_loop(
@@ -1492,7 +1495,7 @@ def _fwd_from_bins(bins, tile_counts, resolution, tile_hw, interpret,
     k_chunk = _pick_chunk(k)
 
     rlo, rhi = _chunk_row_bounds(bins, tile_counts, k_chunk, h, gated)
-    bounds = _pack_bounds(rlo, rhi, h)
+    bounds = _pack_bounds(rlo, rhi, h).reshape(b, 1, -1)
     q_rows = _pick_qrows(th)
     # phase C windows are per hypothesis too, packed the same flat way
     # (qclo*256 + qchi; supports up to 255 chunks per tile)
@@ -1503,7 +1506,7 @@ def _fwd_from_bins(bins, tile_counts, resolution, tile_hw, interpret,
             f"radix in the qwin packing or lower max_tris_per_tile"
         )
     qclo, qchi = _quad_windows(rlo, rhi, th, ntx * sub, q_rows, h)
-    qwin = (qclo * 256 + qchi).reshape(-1).astype(jnp.int32)
+    qwin = (qclo * 256 + qchi).reshape(b, 1, -1).astype(jnp.int32)
     import os
 
     xw = _pick_xwin(tw) if sub == 1 else 0
@@ -1511,10 +1514,10 @@ def _fwd_from_bins(bins, tile_counts, resolution, tile_hw, interpret,
         clo, chi = _chunk_col_bounds(
             bins, tile_counts, k_chunk, w, tw, ntx, gated
         )
-        xwin = _pack_xwin(clo, chi)
+        xwin = _pack_xwin(clo, chi).reshape(b, 1, -1)
     else:
-        # placeholder (prefetch operand must exist; unused when xw == 0)
-        xwin = jnp.zeros((1,), jnp.int32)
+        # placeholder (operand must exist; unused when xw == 0)
+        xwin = jnp.zeros((b, 1, 1), jnp.int32)
     _bf16 = os.environ.get("DD_EVAL_BF16", "0") == "1"
     kernel = functools.partial(
         _fwd_kernel_v2, th=th, tw=tw, ntx=ntx, h=h, w=w, k_chunk=k_chunk,
@@ -1530,10 +1533,28 @@ def _fwd_from_bins(bins, tile_counts, resolution, tile_hw, interpret,
         sub=sub,
     )
     nq = th // q_rows
+    # bounds/qwin/xwin scale with B: streamed per-hypothesis as (1, N)
+    # SMEM blocks (whole-array scalar prefetch would be B*N in SMEM and
+    # overflows its 1MB at escalated compact totals / large frames)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=1,
         grid=(b, num_tiles // sub),
         in_specs=[
+            pl.BlockSpec(
+                (1, 1, bounds.shape[2]),
+                lambda bi, ti, *_: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, qwin.shape[2]),
+                lambda bi, ti, *_: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, xwin.shape[2]),
+                lambda bi, ti, *_: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec(
                 (1, PACKED_WIDTH, sub * k),
                 lambda bi, ti, *_: (bi, 0, ti),
@@ -1616,9 +1637,14 @@ def _dbin_flat(d_rows, ids_cm, tids, tile_counts, bounds, num_tiles, k,
         q_rows=q_rows, zero_tail=zero_tail, sub=sub,
     )
     bwd_grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(b, num_tiles // sub),
         in_specs=[
+            pl.BlockSpec(
+                (1, 1, bounds.shape[2]),
+                lambda bi, ti, *_: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec(
                 (1, 1, q_rows * tw, th // q_rows),
                 lambda bi, ti, *_: (bi, ti // ntx, ti % ntx, 0),
@@ -1828,7 +1854,7 @@ def _fwd_from_bins_compact(bins_c, tile_counts, off_c, used, resolution,
     nq = th // q_rows
 
     rlo_f, rhi_f = _chunk_row_bounds_flat(bins_c, k_chunk, fh, gated)
-    bounds = ((rlo_f + 1) * 1024 + (rhi_f + 1)).reshape(-1).astype(jnp.int32)
+    bounds = ((rlo_f + 1) * 1024 + (rhi_f + 1)).reshape(b, 1, -1).astype(jnp.int32)
     if fh > 1022:
         raise ValueError(
             f"packed row bounds support images up to 1022 rows (got H={fh})"
@@ -1846,8 +1872,8 @@ def _fwd_from_bins_compact(bins_c, tile_counts, off_c, used, resolution,
             f"packed quad windows support up to 255 chunks per tile "
             f"(ncmax={ncmax})"
         )
-    qwin = (qclo * 256 + qchi).reshape(-1).astype(jnp.int32)
-    xwin = jnp.zeros((1,), jnp.int32)  # placeholder (compact has no x path)
+    qwin = (qclo * 256 + qchi).reshape(b, 1, -1).astype(jnp.int32)
+    xwin = jnp.zeros((b, 1, 1), jnp.int32)  # placeholder (compact has no x path)
 
     import os
 
@@ -1865,10 +1891,29 @@ def _fwd_from_bins_compact(bins_c, tile_counts, off_c, used, resolution,
         lean_eval=os.environ.get("DD_EVAL_LEAN", "1") == "1",
         totc=totc, sub=sub,
     )
+    # bounds (b, totc) / qwin (b, nt*nq) stream per-hypothesis as (1, N)
+    # SMEM blocks: whole-array prefetch is B*N ints in SMEM and overflowed
+    # its 1MB when leak-recovery escalated the compact total (B=64 full
+    # frame -> 5.6MB "prefetched SMEM operand" compile failure)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=3,
         grid=(b, num_tiles // sub),
         in_specs=[
+            pl.BlockSpec(
+                (1, 1, bounds.shape[2]),
+                lambda bi, ti, *_: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, qwin.shape[2]),
+                lambda bi, ti, *_: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, xwin.shape[2]),
+                lambda bi, ti, *_: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec(
                 (1, PACKED_WIDTH, tot),
                 lambda bi, ti, *_: (bi, 0, 0),
@@ -2017,9 +2062,14 @@ def _compact_dbins(d_rows, ids_cm, tids, tile_counts, off_c, used, bounds,
         q_rows=q_rows, totc=totc, sub=sub, oy=oy,
     )
     bwd_grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=4,
         grid=(b, num_tiles // sub),
         in_specs=[
+            pl.BlockSpec(
+                (1, 1, bounds.shape[2]),
+                lambda bi, ti, *_: (bi, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec(
                 (1, 1, q_rows * tw, th // q_rows),
                 lambda bi, ti, *_: (bi, ti // ntx, ti % ntx, 0),
